@@ -1,0 +1,85 @@
+"""Connected components via alternating large-star / small-star joins.
+
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14):
+alternate two edge rewrites until fixpoint; each surviving edge then links
+a node to its component minimum.  Used for canonicalization of unmatched
+("new") entity mentions — the distributed replacement for the reference
+resolver's sequential statefulness (entity_resolver.py:55-68, see
+functions/resolve.py docstring).
+
+Each round is groupBy(min) + join; lineage is cut with localCheckpoint so
+iteration count doesn't blow up the plan.  Node ids are strings; min is
+lexicographic, which makes the chosen canonical deterministic under any
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = bidir.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    mins = mins.select("src", F.least("nbr_min", F.col("src")).alias("m"))
+    return (
+        bidir.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large->small; connect u and its small neighbors to the min."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        nbr_edges.union(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor is overflow-free and order-independent
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """``edges(src, dst)`` -> ``(node, component)``.
+
+    ``component`` is the lexicographic minimum node id of the component.
+    Isolated nodes (present only as self-referencing inputs) map to
+    themselves; callers typically union singletons back in afterwards.
+    """
+    current = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    current = current.localCheckpoint(eager=True)
+    signature = _signature(current)
+
+    for _ in range(max_iterations):
+        current = _small_star(_large_star(current)).localCheckpoint(eager=True)
+        new_signature = _signature(current)
+        if new_signature == signature:
+            break
+        signature = new_signature
+
+    members = current.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = current.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return members.union(roots).groupBy("node").agg(F.min("component").alias("component"))

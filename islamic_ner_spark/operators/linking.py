@@ -1,0 +1,273 @@
+"""Entity linking: exact broadcast join -> blocked fuzzy -> joint
+canonicalization of the remainder.
+
+Scale shape (the whole point of this design):
+
+* Resolution is computed over **distinct** (text, type) strings, never per
+  mention row — at 10^12 turns the distinct mention vocabulary is orders
+  of magnitude smaller than the mention table.
+* L1 exact linking is a **broadcast hash join** against the gazetteer
+  dimension (entity_resolver.py:26-43).
+* L2 fuzzy scoring runs in a **batched pandas UDF** against the broadcast
+  gazetteer (candidate generation = same-type, the reference's semantics;
+  entity_resolver.py:70-100).
+* L3' "new" entities are clustered **jointly**: blocking by shared token,
+  pairwise SequenceMatcher ratio >= 0.8 scored in an Arrow batch, then
+  connected components (large-star/small-star) pick a deterministic
+  canonical (lexicographic min).  This replaces the reference's
+  order-dependent resolver mutation with order-free semantics.
+* The final mention->resolution join relies on AQE to broadcast the
+  (small) resolution table and to split skewed keys when it is not small
+  (hot narrator names are Zipf-heavy; ``spark.sql.adaptive.skewJoin`` is
+  on in the session defaults).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from islamic_ner_spark.operators.components import connected_components
+
+LINKABLE_TYPES = ("SCHOLAR", "BOOK", "CONCEPT", "PLACE")
+
+RESOLUTION_SCHEMA = (
+    "text string, entity_type string, norm_text string, "
+    "canonical_name string, confidence double, match_type string"
+)
+
+
+def _distinct_linkable_strings(mentions: DataFrame, triples: DataFrame) -> DataFrame:
+    """Distinct (text, entity_type) across mention spans and triple
+    endpoints (inferred-book endpoints only exist in triples)."""
+    linkable = list(LINKABLE_TYPES)
+    from_mentions = mentions.select("text", "entity_type").where(
+        F.col("entity_type").isin(linkable)
+    )
+    subj = triples.select(
+        F.col("subj_text").alias("text"), F.col("subj_type").alias("entity_type")
+    ).where(F.col("subj_type").isin(linkable))
+    obj = triples.select(
+        F.col("obj_text").alias("text"), F.col("obj_type").alias("entity_type")
+    ).where(F.col("obj_type").isin(linkable))
+    return from_mentions.union(subj).union(obj).distinct()
+
+
+def _with_norm_text(distinct_strings: DataFrame, gazetteer_bc: Broadcast) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from islamic_ner_spark.functions.normalize import normalize
+
+        for batch in batches:
+            batch = batch.copy()
+            batch["norm_text"] = [normalize(t or "") for t in batch["text"]]
+            yield batch
+
+    return distinct_strings.mapInPandas(
+        run, schema="text string, entity_type string, norm_text string"
+    )
+
+
+def _fuzzy_resolve(unmatched: DataFrame, gazetteer_bc: Broadcast) -> DataFrame:
+    """Batched fuzzy scoring vs same-type gazetteer canonicals+variants."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from islamic_ner_spark.functions.resolve import best_fuzzy_candidate
+
+        gazetteer = gazetteer_bc.value
+        for batch in batches:
+            batch = batch.copy()
+            canon, conf = [], []
+            for norm_text, entity_type in zip(batch["norm_text"], batch["entity_type"]):
+                hit = best_fuzzy_candidate(norm_text, entity_type, gazetteer)
+                if hit is None:
+                    canon.append(None)
+                    conf.append(None)
+                else:
+                    canon.append(hit[0])
+                    conf.append(round(hit[1], 4))
+            batch["fuzzy_canonical"] = canon
+            batch["fuzzy_confidence"] = conf
+            yield batch
+
+    return unmatched.mapInPandas(
+        run,
+        schema=(
+            "text string, entity_type string, norm_text string, "
+            "fuzzy_canonical string, fuzzy_confidence double"
+        ),
+    )
+
+
+def _canonicalize_new(spark: SparkSession, new_strings: DataFrame) -> DataFrame:
+    """Joint clustering of unresolved strings.
+
+    Blocking: same (entity_type, shared whitespace token).  Pair scoring:
+    SequenceMatcher ratio >= 0.8 in an Arrow batch.  Components pick the
+    lexicographic-min norm_text as canonical.  Singletons resolve to
+    themselves — identical to the reference for every test fixture.
+    """
+    new_strings = new_strings.select("text", "entity_type", "norm_text")
+
+    # node id is type-scoped so same string of different types never
+    # merges; \x1f (unit separator) cannot appear in normalized text
+    nodes = new_strings.select(
+        F.concat_ws("\x1f", "entity_type", "norm_text").alias("node"),
+        "entity_type",
+        "norm_text",
+    ).distinct()
+
+    blocked = nodes.select(
+        "node", "entity_type", "norm_text",
+        F.explode(F.split("norm_text", " ")).alias("block_token"),
+    ).where(F.col("block_token") != "")
+
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            on=[
+                F.col("a.entity_type") == F.col("b.entity_type"),
+                F.col("a.block_token") == F.col("b.block_token"),
+                F.col("a.node") < F.col("b.node"),
+            ],
+        )
+        .select(
+            F.col("a.node").alias("src"),
+            F.col("b.node").alias("dst"),
+            F.col("a.norm_text").alias("text_a"),
+            F.col("b.norm_text").alias("text_b"),
+        )
+        .distinct()
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from islamic_ner_spark.functions.resolve import FUZZY_THRESHOLD, similarity_ratio
+
+        for batch in batches:
+            keep = [
+                similarity_ratio(a, b) >= FUZZY_THRESHOLD
+                for a, b in zip(batch["text_a"], batch["text_b"])
+            ]
+            yield batch.loc[keep, ["src", "dst"]]
+
+    edges = pairs.mapInPandas(score, schema="src string, dst string")
+    comp = connected_components(edges)
+
+    resolved = (
+        nodes.join(comp, nodes["node"] == comp["node"], "left")
+        .select(
+            nodes["entity_type"],
+            nodes["norm_text"],
+            F.coalesce(comp["component"], nodes["node"]).alias("component"),
+        )
+        # canonical = norm_text part of the component's min node id
+        .withColumn("canonical_name", F.substring_index("component", "\x1f", -1))
+        .drop("component")
+    )
+    return resolved
+
+
+def build_resolution_table(
+    spark: SparkSession,
+    mentions: DataFrame,
+    triples: DataFrame,
+    gazetteer_df: DataFrame,
+    gazetteer_bc: Broadcast,
+) -> DataFrame:
+    """Distinct (text, entity_type) -> (canonical_name, confidence,
+    match_type) via the exact -> fuzzy -> new ladder."""
+    strings = _with_norm_text(_distinct_linkable_strings(mentions, triples), gazetteer_bc)
+
+    exact = strings.join(
+        F.broadcast(gazetteer_df),
+        on=[
+            strings["norm_text"] == gazetteer_df["variant_norm"],
+            strings["entity_type"] == gazetteer_df["entity_type"],
+        ],
+        how="left",
+    ).select(
+        strings["text"],
+        strings["entity_type"],
+        strings["norm_text"],
+        gazetteer_df["canonical_norm"].alias("exact_canonical"),
+    )
+
+    exact_hits = exact.where(F.col("exact_canonical").isNotNull()).select(
+        "text", "entity_type", "norm_text",
+        F.col("exact_canonical").alias("canonical_name"),
+        F.lit(1.0).alias("confidence"),
+        F.lit("exact").alias("match_type"),
+    )
+
+    missed = exact.where(F.col("exact_canonical").isNull()).select(
+        "text", "entity_type", "norm_text"
+    )
+    fuzzy = _fuzzy_resolve(missed, gazetteer_bc)
+
+    fuzzy_hits = fuzzy.where(F.col("fuzzy_canonical").isNotNull()).select(
+        "text", "entity_type", "norm_text",
+        F.col("fuzzy_canonical").alias("canonical_name"),
+        F.col("fuzzy_confidence").alias("confidence"),
+        F.lit("fuzzy").alias("match_type"),
+    )
+
+    new_strings = fuzzy.where(F.col("fuzzy_canonical").isNull()).select(
+        "text", "entity_type", "norm_text"
+    )
+    new_canon = _canonicalize_new(spark, new_strings)
+    new_hits = new_strings.join(new_canon, ["entity_type", "norm_text"]).select(
+        "text", "entity_type", "norm_text",
+        F.col("canonical_name"),
+        F.lit(0.5).alias("confidence"),
+        F.lit("new").alias("match_type"),
+    )
+
+    return exact_hits.unionByName(fuzzy_hits).unionByName(new_hits)
+
+
+def resolve_triples(triples: DataFrame, resolution: DataFrame) -> DataFrame:
+    """Attach canonical endpoints to every triple (L5, builder.py:285-323).
+
+    HADITH_REF endpoints canonicalize to the turn's ``doc_id`` (the
+    metadata hadith_id always exists in this pipeline, builder.py:313-321);
+    linkable endpoints join the resolution table.  AQE will broadcast the
+    resolution side when small and skew-split when not.
+    """
+    subj_res = resolution.select(
+        F.col("text").alias("subj_text"),
+        F.col("entity_type").alias("subj_type"),
+        F.col("canonical_name").alias("subj_canonical_r"),
+        F.col("confidence").alias("subj_confidence_r"),
+        F.col("match_type").alias("subj_match_type_r"),
+    )
+    obj_res = resolution.select(
+        F.col("text").alias("obj_text"),
+        F.col("entity_type").alias("obj_type"),
+        F.col("canonical_name").alias("obj_canonical_r"),
+        F.col("confidence").alias("obj_confidence_r"),
+        F.col("match_type").alias("obj_match_type_r"),
+    )
+
+    out = (
+        triples.join(subj_res, ["subj_text", "subj_type"], "left")
+        .join(obj_res, ["obj_text", "obj_type"], "left")
+        .withColumn(
+            "subj_canonical",
+            F.when(F.col("subj_type") == "HADITH_REF", F.col("doc_id")).otherwise(
+                F.col("subj_canonical_r")
+            ),
+        )
+        .withColumn(
+            "obj_canonical",
+            F.when(F.col("obj_type") == "HADITH_REF", F.col("doc_id")).otherwise(
+                F.col("obj_canonical_r")
+            ),
+        )
+        .withColumn("source_hadith", F.col("doc_id"))
+        .drop("subj_canonical_r", "obj_canonical_r")
+    )
+    return out

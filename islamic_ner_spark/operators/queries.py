@@ -1,0 +1,176 @@
+"""Read-side graph queries (Q1-Q7) over the nodes/edges tables.
+
+Parity target: GraphQuerier (/root/reference/src/graph/query.py) and the
+FakeGraphBackend query doubles (tests/test_graph.py:99-198).  All queries
+are plain DataFrame plans (filter/join/distinct/orderBy) except BFS, which
+is an iterative frontier-expansion join bounded at 20 hops (query.py:125).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def find_scholar(nodes: DataFrame, name: str) -> Dict[str, str]:
+    """Substring lookup, shortest canonical name wins (Q1, query.py:14-38).
+
+    Deterministic tiebreak on the name itself (the reference leaves ties
+    to store order)."""
+    rows = (
+        nodes.where(F.col("label") == "Scholar")
+        .where(
+            F.col("key").contains(name)
+            | F.coalesce(F.col("name_ar"), F.col("key")).contains(name)
+        )
+        .select(
+            F.col("key").alias("canonical_name"),
+            F.coalesce(F.col("name_ar"), F.col("key")).alias("name_ar"),
+        )
+        .orderBy(F.length("canonical_name"), F.col("canonical_name"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return {}
+    return {"canonical_name": rows[0]["canonical_name"], "name_ar": rows[0]["name_ar"]}
+
+
+def narration_chain(edges: DataFrame, doc_id: str) -> DataFrame:
+    """NARRATED_FROM edges of one document, ordered (Q2, query.py:40-66)."""
+    return (
+        edges.where(
+            (F.col("pred") == "NARRATED_FROM")
+            & (F.col("source_hadith") == doc_id)
+            & (F.col("src_label") == "Scholar")
+            & (F.col("tgt_label") == "Scholar")
+        )
+        .select(
+            F.col("src_key").alias("source"),
+            F.col("tgt_key").alias("target"),
+            "confidence",
+            "evidence",
+        )
+        .orderBy("source", "target")
+    )
+
+
+def scholar_connections(edges: DataFrame, scholar: str) -> Dict[str, object]:
+    """Teachers (out-neighbors) and students (in-neighbors) via
+    NARRATED_FROM, distinct + sorted (Q3, query.py:68-94)."""
+    narrated = edges.where(F.col("pred") == "NARRATED_FROM")
+    teachers = [
+        r["name"]
+        for r in narrated.where(F.col("src_key") == scholar)
+        .select(F.col("tgt_key").alias("name"))
+        .distinct()
+        .orderBy("name")
+        .collect()
+    ]
+    students = [
+        r["name"]
+        for r in narrated.where(F.col("tgt_key") == scholar)
+        .select(F.col("src_key").alias("name"))
+        .distinct()
+        .orderBy("name")
+        .collect()
+    ]
+    return {"scholar": scholar, "teachers": teachers, "students": students}
+
+
+def concepts_in_book(nodes: DataFrame, edges: DataFrame, book_name: str) -> DataFrame:
+    """Two-hop semi-join: Hadith-[IN_BOOK]->Book(~name) x
+    Hadith-[MENTIONS_CONCEPT]->Concept (Q4, query.py:96-113)."""
+    books = (
+        nodes.where(F.col("label") == "Book")
+        .where(
+            F.col("key").contains(book_name)
+            | F.coalesce(F.col("name_ar"), F.lit("")).contains(book_name)
+        )
+        .select(F.col("key").alias("book_key"))
+    )
+    in_book = (
+        edges.where((F.col("pred") == "IN_BOOK") & (F.col("tgt_label") == "Book"))
+        .join(F.broadcast(books), F.col("tgt_key") == F.col("book_key"), "left_semi")
+        .select(F.col("src_key").alias("hadith_key"))
+        .distinct()
+    )
+    mentions = edges.where(
+        (F.col("pred") == "MENTIONS_CONCEPT") & (F.col("tgt_label") == "Concept")
+    ).select(F.col("src_key").alias("hadith_key"), F.col("tgt_key").alias("concept"))
+    return (
+        mentions.join(in_book, "hadith_key", "left_semi")
+        .select("concept")
+        .distinct()
+        .orderBy("concept")
+    )
+
+
+def count_narrated_hadiths(edges: DataFrame, scholar: str) -> int:
+    """count(DISTINCT source_hadith) touching a scholar either direction,
+    excluding empty provenance (Q6, api/routes/graph.py:49-71)."""
+    row = (
+        edges.where(F.col("pred") == "NARRATED_FROM")
+        .where((F.col("src_key") == scholar) | (F.col("tgt_key") == scholar))
+        .where(F.col("source_hadith") != "")
+        .agg(F.countDistinct("source_hadith").alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"])
+
+
+def shortest_path(
+    edges: DataFrame, scholar1: str, scholar2: str, max_hops: int = 20
+) -> List[str]:
+    """Undirected BFS over NARRATED_FROM Scholar edges (Q5, query.py:115-135).
+
+    Iterative frontier-expansion joins; the frontier carries the path as an
+    array column, visited nodes are anti-joined out, and each level is
+    localCheckpoint-ed to cap lineage.  Ties resolve to the
+    lexicographically smallest path for determinism.
+    """
+    if scholar1 == scholar2:
+        return [scholar1]
+
+    scholar_edges = edges.where(
+        (F.col("pred") == "NARRATED_FROM")
+        & (F.col("src_label") == "Scholar")
+        & (F.col("tgt_label") == "Scholar")
+    ).select("src_key", "tgt_key")
+    undirected = (
+        scholar_edges.select(F.col("src_key").alias("a"), F.col("tgt_key").alias("b"))
+        .union(
+            scholar_edges.select(F.col("tgt_key").alias("a"), F.col("src_key").alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(scholar1, [scholar1])], "node string, path array<string>"
+    )
+    visited = frontier.select("node")
+
+    for _ in range(max_hops):
+        expanded = (
+            frontier.join(undirected, frontier["node"] == undirected["a"])
+            .select(
+                F.col("b").alias("node"),
+                F.concat("path", F.array(F.col("b"))).alias("path"),
+            )
+            .join(visited, "node", "left_anti")
+        )
+        # one best (shortest tie-broken) path per node this level
+        expanded = expanded.groupBy("node").agg(F.min("path").alias("path"))
+        expanded = expanded.localCheckpoint(eager=True)
+        hits = expanded.where(F.col("node") == scholar2).select("path").collect()
+        if hits:
+            return list(min(r["path"] for r in hits))
+        if expanded.isEmpty():
+            return []
+        visited = visited.union(expanded.select("node")).distinct().localCheckpoint(eager=True)
+        frontier = expanded
+    return []

@@ -1,0 +1,216 @@
+"""End-to-end KG construction plan: transcripts -> nodes + edges.
+
+Spark lifecycle (all stages DataFrame-native, SURVEY.md §3):
+
+    read transcripts
+      -> annotate (fused normalize + AC-gazetteer + pattern NER,
+         one narrow mapInPandas)                      [no shuffle]
+      -> mentions / triples (narrow mapInPandas)      [no shuffle]
+      -> resolution over DISTINCT strings (broadcast exact join,
+         batched fuzzy, CC canonicalization)          [small shuffles]
+      -> resolved triples/mentions (AQE broadcast/skew join)
+      -> nodes/edges groupBy MERGE-semantics aggs     [keyed shuffle]
+
+With a ``work_dir`` each stage materializes to parquet with a lineage
+manifest and is resumable; the annotate stage is bucketed by conv_id hash
+and resumes at bucket granularity (a killed job skips finished buckets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from islamic_ner_spark.operators.graph import build_edges, build_nodes, graph_stats
+from islamic_ner_spark.operators.linking import (
+    build_resolution_table,
+    resolve_triples,
+)
+from islamic_ner_spark.operators.ner import annotate_transcripts
+from islamic_ner_spark.operators.relations import extract_mentions, extract_triples
+from islamic_ner_spark.sources import tables
+from islamic_ner_spark.sources.gazetteer import Gazetteer
+
+DEFAULT_GAZETTEER_DIR = str(Path(__file__).resolve().parents[1] / "data" / "gazetteers")
+
+
+@dataclass
+class GraphBuildResult:
+    annotated: DataFrame
+    mentions: DataFrame
+    triples: DataFrame
+    resolution: DataFrame
+    resolved_triples: DataFrame
+    resolved_mentions: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+
+    def stats(self) -> dict:
+        return graph_stats(self.nodes, self.edges)
+
+
+def _fingerprint(*parts: object) -> str:
+    return hashlib.sha256(json.dumps([str(p) for p in parts]).encode()).hexdigest()[:16]
+
+
+def resolve_mentions_table(mentions: DataFrame, resolution: DataFrame) -> DataFrame:
+    """Attach canonical/confidence to mention rows (HADITH_REF mentions
+    canonicalize to their doc_id with confidence 1.0, builder.py:149-167)."""
+    res = resolution.select(
+        "text", "entity_type",
+        F.col("canonical_name").alias("canonical_name_r"),
+        F.col("confidence").alias("confidence_r"),
+        F.col("match_type").alias("match_type_r"),
+    )
+    return (
+        mentions.join(res, ["text", "entity_type"], "left")
+        .withColumn(
+            "canonical_name",
+            F.when(F.col("entity_type") == "HADITH_REF", F.col("doc_id")).otherwise(
+                F.col("canonical_name_r")
+            ),
+        )
+        .withColumn(
+            "confidence",
+            F.when(F.col("entity_type") == "HADITH_REF", F.lit(1.0)).otherwise(
+                F.col("confidence_r")
+            ),
+        )
+        .withColumn(
+            "match_type",
+            F.when(F.col("entity_type") == "HADITH_REF", F.lit("exact")).otherwise(
+                F.col("match_type_r")
+            ),
+        )
+        .drop("canonical_name_r", "confidence_r", "match_type_r")
+    )
+
+
+def _annotate_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    gazetteer_bc,
+    work_dir: str,
+    fingerprint: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Bucketed, partition-resumable annotate stage."""
+    path = str(Path(work_dir) / "annotated")
+    bucket_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+    if tables.table_is_current(path, fingerprint):
+        return tables.read_table(spark, path).drop("bucket")
+
+    done = tables.completed_buckets(path) if tables.read_manifest(path) else set()
+    if done:
+        # resume: only annotate the missing buckets, append, re-manifest.
+        # bucket is a pure function of conv_id, so it is recomputed after
+        # the (narrow) annotate pass — no join required.
+        pending = transcripts.where(~bucket_col.cast("string").isin(list(done)))
+        annotated_new = annotate_transcripts(pending, gazetteer_bc).withColumn(
+            "bucket", bucket_col
+        )
+        annotated_new.write.mode("append").partitionBy("bucket").parquet(path)
+        written = spark.read.parquet(path)
+        per_partition = {
+            str(r["bucket"]): r["rows"]
+            for r in written.groupBy("bucket").agg(F.count(F.lit(1)).alias("rows")).collect()
+        }
+        manifest = tables.read_manifest(path) or {}
+        manifest.update(
+            {"fingerprint": fingerprint, "per_partition_rows": per_partition,
+             "rows": written.count(), "resumed": True}
+        )
+        tables.manifest_path(path).write_text(json.dumps(manifest, indent=2))
+    else:
+        annotated = annotate_transcripts(transcripts, gazetteer_bc).withColumn(
+            "bucket", bucket_col
+        )
+        tables.write_table(
+            annotated, path, stage="annotate", fingerprint=fingerprint,
+            partition_by=["bucket"],
+        )
+    return tables.read_table(spark, path).drop("bucket")
+
+
+def build_graph(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    *,
+    gazetteer: Optional[Gazetteer] = None,
+    gazetteer_dir: str = DEFAULT_GAZETTEER_DIR,
+    work_dir: Optional[str] = None,
+    n_buckets: int = 64,
+) -> GraphBuildResult:
+    """Run the full KG-construction dataflow.
+
+    Without ``work_dir`` the plan stays lazy (annotated is persisted since
+    two children consume it).  With ``work_dir`` every stage materializes
+    to parquet + manifest and re-runs resume from completed work.
+    """
+    gazetteer = gazetteer or Gazetteer.from_dir(gazetteer_dir)
+    gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
+    gazetteer_df = gazetteer.to_dataframe(spark)
+    fingerprint = _fingerprint("v1", gazetteer_dir, sorted(gazetteer.lookup)[:50])
+
+    if work_dir:
+        annotated = _annotate_resumable(
+            spark, transcripts, gazetteer_bc, work_dir, fingerprint, n_buckets
+        )
+    else:
+        annotated = annotate_transcripts(transcripts, gazetteer_bc).persist()
+
+    mentions = extract_mentions(annotated)
+    triples = extract_triples(annotated)
+
+    if work_dir:
+        for name, df in (("mentions", mentions), ("triples", triples)):
+            path = str(Path(work_dir) / name)
+            if not tables.table_is_current(path, fingerprint):
+                tables.write_table(df, path, stage=name, fingerprint=fingerprint)
+        mentions = tables.read_table(spark, str(Path(work_dir) / "mentions"))
+        triples = tables.read_table(spark, str(Path(work_dir) / "triples"))
+    else:
+        mentions = mentions.persist()
+        triples = triples.persist()
+
+    resolution = build_resolution_table(spark, mentions, triples, gazetteer_df, gazetteer_bc)
+    if work_dir:
+        path = str(Path(work_dir) / "resolution")
+        if not tables.table_is_current(path, fingerprint):
+            tables.write_table(resolution, path, stage="resolution", fingerprint=fingerprint)
+        resolution = tables.read_table(spark, path)
+    else:
+        resolution = resolution.persist()
+
+    resolved_triples = resolve_triples(triples, resolution)
+    resolved_mentions = resolve_mentions_table(mentions, resolution)
+
+    doc_index = annotated.select("conv_id", "turn_idx", "doc_id")
+    nodes = build_nodes(resolved_mentions, doc_index, resolved_triples)
+    edges = build_edges(resolved_triples)
+
+    if work_dir:
+        for name, df in (("nodes", nodes), ("edges", edges)):
+            path = str(Path(work_dir) / name)
+            if not tables.table_is_current(path, fingerprint):
+                tables.write_table(df, path, stage=name, fingerprint=fingerprint)
+        nodes = tables.read_table(spark, str(Path(work_dir) / "nodes"))
+        edges = tables.read_table(spark, str(Path(work_dir) / "edges"))
+
+    return GraphBuildResult(
+        annotated=annotated,
+        mentions=mentions,
+        triples=triples,
+        resolution=resolution,
+        resolved_triples=resolved_triples,
+        resolved_mentions=resolved_mentions,
+        nodes=nodes,
+        edges=edges,
+    )
