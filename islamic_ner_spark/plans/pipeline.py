@@ -139,6 +139,37 @@ def _annotate_resumable(
     return tables.read_table(spark, path).drop("bucket")
 
 
+def build_graph_from_labels(
+    spark: SparkSession,
+    labeled: DataFrame,
+    *,
+    gazetteer: Optional[Gazetteer] = None,
+    gazetteer_dir: str = DEFAULT_GAZETTEER_DIR,
+) -> GraphBuildResult:
+    """KG construction from pre-labeled input — the reference's
+    ``process_hadith(tokens, labels, hadith_id)`` entry point
+    (builder.py:134-209), e.g. for externally produced model-NER labels.
+
+    ``labeled`` columns: conv_id string, turn_idx int, tokens
+    array<string>, labels array<string>.
+    """
+    annotated = labeled.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"),
+        F.concat_ws(" ", "tokens").alias("norm_text"),
+        "tokens",
+        "labels",
+    ).persist()
+    return _build_from_annotated(
+        spark, annotated, gazetteer or Gazetteer.from_dir(gazetteer_dir), work_dir=None,
+        fingerprint="labels",
+    )
+
+
 def build_graph(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -156,7 +187,6 @@ def build_graph(
     """
     gazetteer = gazetteer or Gazetteer.from_dir(gazetteer_dir)
     gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
-    gazetteer_df = gazetteer.to_dataframe(spark)
     fingerprint = _fingerprint("v1", gazetteer_dir, sorted(gazetteer.lookup)[:50])
 
     if work_dir:
@@ -165,6 +195,25 @@ def build_graph(
         )
     else:
         annotated = annotate_transcripts(transcripts, gazetteer_bc).persist()
+
+    return _build_from_annotated(
+        spark, annotated, gazetteer, work_dir=work_dir, fingerprint=fingerprint,
+        gazetteer_bc=gazetteer_bc,
+    )
+
+
+def _build_from_annotated(
+    spark: SparkSession,
+    annotated: DataFrame,
+    gazetteer: Gazetteer,
+    *,
+    work_dir: Optional[str],
+    fingerprint: str,
+    gazetteer_bc=None,
+) -> GraphBuildResult:
+    if gazetteer_bc is None:
+        gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
+    gazetteer_df = gazetteer.to_dataframe(spark)
 
     mentions = extract_mentions(annotated)
     triples = extract_triples(annotated)

@@ -1,0 +1,77 @@
+"""Graph query operators incl. BFS — ports test_graph.py:99-198 semantics."""
+
+from __future__ import annotations
+
+from islamic_ner_spark.functions.normalize import normalize
+from islamic_ner_spark.operators import queries as Q
+from islamic_ner_spark.plans.pipeline import build_graph_from_labels
+
+LABELED_SCHEMA = "conv_id string, turn_idx int, tokens array<string>, labels array<string>"
+
+
+def _chain_doc(doc, names):
+    tokens, labels = ["حدثنا"], ["O"]
+    for i, name in enumerate(names):
+        if i:
+            tokens.append("عن")
+            labels.append("O")
+        tokens.append(name)
+        labels.append("B-SCHOLAR")
+    return (doc, 0, tokens, labels)
+
+
+def _graph(spark, resolver_gazetteer, rows):
+    labeled = spark.createDataFrame(rows, LABELED_SCHEMA)
+    return build_graph_from_labels(spark, labeled, gazetteer=resolver_gazetteer)
+
+
+def test_find_scholar_shortest_name(spark, resolver_gazetteer) -> None:
+    result = _graph(
+        spark,
+        resolver_gazetteer,
+        [_chain_doc("d1", ["مالك", "نافع"]), _chain_doc("d2", ["البخاري", "مالك"])],
+    )
+    hit = Q.find_scholar(result.nodes, normalize("مالك"))
+    assert hit["canonical_name"] == normalize("مالك")
+    assert Q.find_scholar(result.nodes, "لا وجود له") == {}
+
+
+def test_scholar_connections(spark, resolver_gazetteer) -> None:
+    result = _graph(
+        spark,
+        resolver_gazetteer,
+        [_chain_doc("d1", ["مالك", "نافع"]), _chain_doc("d2", ["عبد الله", "مالك"])],
+    )
+    conn = Q.scholar_connections(result.edges, normalize("مالك"))
+    assert conn["teachers"] == [normalize("نافع")]
+    assert conn["students"] == [normalize("عبد الله")]
+
+
+def test_concepts_in_book(spark, resolver_gazetteer) -> None:
+    tokens = ["رواه", "البخاري", "الربا"]
+    labels = ["O", "B-BOOK", "B-CONCEPT"]
+    result = _graph(spark, resolver_gazetteer, [("d-book", 0, tokens, labels)])
+    concepts = [r["concept"] for r in Q.concepts_in_book(
+        result.nodes, result.edges, normalize("البخاري")
+    ).collect()]
+    assert concepts == [normalize("الربا")]
+
+
+def test_shortest_path_bfs(spark, resolver_gazetteer) -> None:
+    result = _graph(
+        spark,
+        resolver_gazetteer,
+        [
+            _chain_doc("d1", ["مالك", "نافع"]),
+            _chain_doc("d2", ["نافع", "عبد الله"]),
+            _chain_doc("d3", ["عبد الله", "البخاري"]),
+        ],
+    )
+    malik = normalize("مالك")
+    bukhari = normalize("محمد بن إسماعيل البخاري")
+    path = Q.shortest_path(result.edges, malik, bukhari)
+    assert path[0] == malik
+    assert path[-1] == bukhari
+    assert len(path) == 4
+    assert Q.shortest_path(result.edges, malik, malik) == [malik]
+    assert Q.shortest_path(result.edges, malik, "مجهول") == []
