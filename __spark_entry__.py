@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on transcripts
+synthesized deterministically from the sf0.001 documents table and returns
+the narration-chain edge table.  ``queries()``/``oracle_sql()`` expose the
+operator catalog (SQL-oracled scalar/window/join/similarity queries +
+rows-only KG pipeline stages); see
+islamic_ner_spark/plans/driver_queries.py.
 """
 
 from __future__ import annotations
@@ -13,26 +14,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts -> NER -> triples -> linking -> graph ->
+    narration-chain edges (ordered)."""
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.plans.pipeline import build_graph
+    from islamic_ner_spark.sources.transcripts import transcripts_from_documents
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select("doc_id")
+    transcripts = transcripts_from_documents(spark, docs, turns_per_conv=3)
+    result = build_graph(spark, transcripts)
+    return (
+        result.edges.where(F.col("pred") == "NARRATED_FROM")
+        .select(
+            "source_hadith",
+            F.col("src_key").alias("source"),
+            F.col("tgt_key").alias("target"),
+            "confidence",
+            "evidence",
+        )
+        .orderBy("source_hadith", "source", "target")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from islamic_ner_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from islamic_ner_spark.plans.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

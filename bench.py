@@ -1,0 +1,115 @@
+"""Benchmark: end-to-end KG construction throughput + headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints exactly ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "triples": N, "turns": N, "triples_per_sec": X, "turns_per_sec": X}
+
+The headline stage is the full pipeline (synthesized transcripts scaled
+from the sf documents table -> annotate -> triples -> linking -> graph),
+measured as wall time to materialize the edges table; triples/sec is the
+BASELINE.json metric.  Scale knobs via env:
+SPARK_GRAFT_CONVS_PER_DOC (default 6), SPARK_GRAFT_TURNS (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    convs_per_doc = int(os.environ.get("SPARK_GRAFT_CONVS_PER_DOC", "6"))
+    turns_per_conv = int(os.environ.get("SPARK_GRAFT_TURNS", "4"))
+
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.plans import driver_queries as dq
+    from islamic_ner_spark.plans.pipeline import build_graph
+    from islamic_ner_spark.session import build_session
+    from islamic_ner_spark.sources.transcripts import synthetic_transcripts
+
+    spark = build_session(
+        "islamic_ner_bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_convs = n_docs * convs_per_doc
+    timings: dict[str, float] = {}
+
+    # --- headline: end-to-end KG build -----------------------------------
+    start = time.time()
+    transcripts = synthetic_transcripts(
+        spark, n_convs, turns_per_conv=turns_per_conv, partitions=cpus * 2
+    )
+    result = build_graph(spark, transcripts)
+    n_triples = result.resolved_triples.count()
+    n_edges = result.edges.count()
+    n_nodes = result.nodes.count()
+    kg_seconds = time.time() - start
+    timings["kg_build_e2e"] = round(kg_seconds, 3)
+    n_turns = n_convs * turns_per_conv
+
+    # --- headline queries over the built graph ---------------------------
+    start = time.time()
+    result.edges.where(F.col("pred") == "NARRATED_FROM").groupBy("src_key").agg(
+        F.countDistinct("source_hadith").alias("n")
+    ).orderBy(F.desc("n")).limit(20).collect()
+    timings["kg_top_narrators"] = round(time.time() - start, 3)
+
+    start = time.time()
+    from islamic_ner_spark.operators.components import connected_components
+
+    scholar_pairs = result.edges.where(
+        (F.col("pred") == "NARRATED_FROM")
+        & (F.col("src_label") == "Scholar")
+        & (F.col("tgt_label") == "Scholar")
+    ).select(F.col("src_key").alias("src"), F.col("tgt_key").alias("dst"))
+    connected_components(scholar_pairs).groupBy("component").count().collect()
+    timings["kg_components"] = round(time.time() - start, 3)
+
+    # --- relational / text / similarity headliners ------------------------
+    for name in (
+        "lineitem_pricing_summary",
+        "orders_per_nation",
+        "events_sessionize",
+        "dedup_exact",
+        "lang_quality",
+        "embedding_topk",
+    ):
+        start = time.time()
+        dq.QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg-build e2e + headline query suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "turns": n_turns,
+                "triples": n_triples,
+                "edges": n_edges,
+                "nodes": n_nodes,
+                "turns_per_sec": round(n_turns / kg_seconds, 1),
+                "triples_per_sec": round(n_triples / kg_seconds, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,34 @@ def synthetic_transcripts(
     return base.mapInPandas(generate, schema=TRANSCRIPTS_SCHEMA)
 
 
+def transcripts_from_documents(
+    spark: SparkSession,
+    documents: DataFrame,
+    *,
+    turns_per_conv: int = 3,
+    seed: int = 42,
+    skew: float = 1.1,
+) -> DataFrame:
+    """Deterministic transcripts keyed by an existing table's ``doc_id``
+    column — used by the driver-facing queries so the testdata tables are
+    genuine inputs at every scale factor."""
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                rows.extend(
+                    _conversation_rows(int(doc_id), seed, turns_per_conv, skew)
+                )
+            frame = pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+            frame["ts"] = pd.to_datetime(frame["ts"], unit="s")
+            yield frame
+
+    return documents.select("doc_id").mapInPandas(generate, schema=TRANSCRIPTS_SCHEMA)
+
+
 EXPECTED_TRIPLES_SCHEMA = (
     "doc_id string, pred string, "
     "subj_text string, subj_type string, subj_start int, subj_end int, "
