@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    convs_per_doc = int(os.environ.get("SPARK_GRAFT_CONVS_PER_DOC", "6"))
+    convs_per_doc = int(os.environ.get("SPARK_GRAFT_CONVS_PER_DOC", "25"))
     turns_per_conv = int(os.environ.get("SPARK_GRAFT_TURNS", "4"))
 
     from pyspark.sql import functions as F
@@ -49,7 +49,7 @@ def main() -> None:
     # --- headline: end-to-end KG build -----------------------------------
     start = time.time()
     transcripts = synthetic_transcripts(
-        spark, n_convs, turns_per_conv=turns_per_conv, partitions=cpus * 2
+        spark, n_convs, turns_per_conv=turns_per_conv, partitions=cpus * 4
     )
     result = build_graph(spark, transcripts)
     n_triples = result.resolved_triples.count()
@@ -78,17 +78,18 @@ def main() -> None:
     timings["kg_components"] = round(time.time() - start, 3)
 
     # --- relational / text / similarity headliners ------------------------
-    for name in (
-        "lineitem_pricing_summary",
-        "orders_per_nation",
-        "events_sessionize",
-        "dedup_exact",
-        "lang_quality",
-        "embedding_topk",
-    ):
-        start = time.time()
-        dq.QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - start, 3)
+    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        for name in (
+            "lineitem_pricing_summary",
+            "orders_per_nation",
+            "events_sessionize",
+            "dedup_exact",
+            "lang_quality",
+            "embedding_topk",
+        ):
+            start = time.time()
+            dq.QUERIES[name](spark, sf_dir).collect()
+            timings[name] = round(time.time() - start, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -179,8 +179,15 @@ def build_resolution_table(
     gazetteer_bc: Broadcast,
 ) -> DataFrame:
     """Distinct (text, entity_type) -> (canonical_name, confidence,
-    match_type) via the exact -> fuzzy -> new ladder."""
-    strings = _with_norm_text(_distinct_linkable_strings(mentions, triples), gazetteer_bc)
+    match_type) via the exact -> fuzzy -> new ladder.
+
+    The distinct-string table is persisted: it is consumed by three
+    branches (exact hit/miss, fuzzy hit/miss, new) and is tiny relative to
+    the mention table, so recomputing the upstream distinct shuffle three
+    times would triple the stage cost for nothing."""
+    strings = _with_norm_text(
+        _distinct_linkable_strings(mentions, triples), gazetteer_bc
+    ).persist()
 
     exact = strings.join(
         F.broadcast(gazetteer_df),
@@ -206,7 +213,7 @@ def build_resolution_table(
     missed = exact.where(F.col("exact_canonical").isNull()).select(
         "text", "entity_type", "norm_text"
     )
-    fuzzy = _fuzzy_resolve(missed, gazetteer_bc)
+    fuzzy = _fuzzy_resolve(missed, gazetteer_bc).persist()
 
     fuzzy_hits = fuzzy.where(F.col("fuzzy_canonical").isNotNull()).select(
         "text", "entity_type", "norm_text",
@@ -218,6 +225,9 @@ def build_resolution_table(
     new_strings = fuzzy.where(F.col("fuzzy_canonical").isNull()).select(
         "text", "entity_type", "norm_text"
     )
+    if new_strings.isEmpty():
+        return exact_hits.unionByName(fuzzy_hits)
+
     new_canon = _canonicalize_new(spark, new_strings)
     new_hits = new_strings.join(new_canon, ["entity_type", "norm_text"]).select(
         "text", "entity_type", "norm_text",

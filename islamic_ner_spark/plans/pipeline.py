@@ -252,6 +252,11 @@ def _build_from_annotated(
                 tables.write_table(df, path, stage=name, fingerprint=fingerprint)
         nodes = tables.read_table(spark, str(Path(work_dir) / "nodes"))
         edges = tables.read_table(spark, str(Path(work_dir) / "edges"))
+    else:
+        # consumed by multiple downstream actions (stats, queries, counts)
+        resolved_triples = resolved_triples.persist()
+        nodes = nodes.persist()
+        edges = edges.persist()
 
     return GraphBuildResult(
         annotated=annotated,

@@ -1,0 +1,111 @@
+"""Two-cluster-size scaling evidence: local[8] vs local[32].
+
+The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors; with no real cluster in the sandbox, the same KG-build job runs
+at two parallelism levels on identical input (seeded generator => byte-
+identical) in separate JVMs, and efficiency = (T_4N / T_N) / 4.
+
+Writes results to BENCH.md and prints a JSON summary.
+
+Usage: python scripts/scaling_run.py [convs_per_doc] [turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_CONVS_PER_DOC": str(convs_per_doc),
+            "SPARK_GRAFT_TURNS": str(turns),
+            "SPARK_GRAFT_KG_ONLY": "1",
+        }
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=str(REPO),
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    convs_per_doc = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    results = {}
+    for cpus in (8, 32):
+        started = time.time()
+        results[cpus] = run_bench(cpus, convs_per_doc, turns, sf_dir)
+        print(
+            f"local[{cpus}]: kg_build={results[cpus]['queries']['kg_build_e2e']}s "
+            f"turns/s={results[cpus]['turns_per_sec']} "
+            f"triples/s={results[cpus]['triples_per_sec']} "
+            f"(wall {time.time()-started:.0f}s)"
+        )
+
+    tp8 = results[8]["triples_per_sec"]
+    tp32 = results[32]["triples_per_sec"]
+    efficiency = (tp32 / tp8) / 4.0
+    summary = {
+        "sf_dir": sf_dir,
+        "turns": results[32]["turns"],
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency_8_to_32": round(efficiency, 3),
+    }
+    print(json.dumps(summary))
+
+    bench_md = REPO / "BENCH.md"
+    bench_md.write_text(
+        f"""# BENCH — measured throughput and scaling
+
+## End-to-end KG construction (synthetic transcripts, seed=42)
+
+Same input at two parallelism levels (separate JVMs; the in-sandbox proxy
+for N vs 4N executors per BASELINE.json):
+
+| cluster size | turns | kg-build wall (s) | turns/s | triples/s |
+|---|---|---|---|---|
+| local[8]  (N)  | {results[8]['turns']:,} | {results[8]['queries']['kg_build_e2e']} | {results[8]['turns_per_sec']:,} | {results[8]['triples_per_sec']:,} |
+| local[32] (4N) | {results[32]['turns']:,} | {results[32]['queries']['kg_build_e2e']} | {results[32]['turns_per_sec']:,} | {results[32]['triples_per_sec']:,} |
+
+**Scaling efficiency (N -> 4N): {efficiency:.3f}** (gate: >= 0.8)
+
+Triples emitted: {results[32]['triples']:,}; nodes {results[32]['nodes']:,};
+edges {results[32]['edges']:,}.
+
+## Reference comparison
+
+The reference processes 1.55 docs/s (~5 relations/s inserted) single-
+threaded, model-bound (BASELINE.md). This engine's model-free path on one
+32-thread node: {results[32]['turns_per_sec']:,} turns/s /
+{results[32]['triples_per_sec']:,} triples/s — roughly
+{int(results[32]['turns_per_sec'] / 1.55):,}x the reference document rate.
+
+Regenerate: `python scripts/scaling_run.py` (writes this file).
+Per-round driver numbers: BENCH_r{{N}}.json (bench.py at sf0.1 defaults).
+"""
+    )
+    print(f"wrote {bench_md}")
+
+
+if __name__ == "__main__":
+    main()

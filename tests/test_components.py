@@ -38,10 +38,17 @@ def test_components_match_union_find(spark) -> None:
     expected = _oracle(edges)
 
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {
+    # local union-find path (small input)
+    got_local = {
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
-    assert got == expected
+    assert got_local == expected
+    # distributed large-star/small-star path (threshold forced to 0)
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_components_two_chains(spark) -> None:
