@@ -452,6 +452,57 @@ def normalize_label(label: str) -> str:
     return f"{prefix}-{entity_type}"
 
 
+def word_offsets(text: str, words: Sequence[str]) -> List[Tuple[int, int]]:
+    """Recover char offsets of known words via cursor search (P14,
+    api/routes/ner.py:73-91) — tolerant of repeated words and fallback to
+    the cursor when a word is unfindable."""
+    offsets: List[Tuple[int, int]] = []
+    cursor = 0
+    for word in words:
+        while cursor < len(text) and text[cursor].isspace():
+            cursor += 1
+        start = text.find(word, cursor)
+        if start == -1:
+            start = text.find(word)
+        if start == -1:
+            start = cursor
+        end = start + len(word)
+        offsets.append((start, end))
+        cursor = end
+    return offsets
+
+
+def merge_allowed_labels(
+    base_labels: Sequence[str],
+    candidate_labels: Sequence[str],
+    allowed_types: frozenset | set,
+) -> List[str]:
+    """Protected overlay merge (A10, boost_silver_data.py:213-236):
+    candidate spans of allowed types are written onto the base sequence
+    only where every covered slot is still 'O'; candidates applied in
+    (start, -length) order."""
+    from islamic_ner_spark.functions.relations import bio_to_entity_spans
+
+    if len(base_labels) != len(candidate_labels):
+        raise ValueError("label length mismatch in protected merge")
+    merged = list(base_labels)
+    spans = [
+        (int(s["start"]), int(s["end"]), str(s["type"]))
+        for s in bio_to_entity_spans(["x"] * len(candidate_labels), list(candidate_labels))
+        if s["type"] in allowed_types
+    ]
+    spans.sort(key=lambda s: (s[0], -(s[1] - s[0])))
+    for start, end, entity_type in spans:
+        if start < 0 or end <= start or end > len(merged):
+            continue
+        if any(label != "O" for label in merged[start:end]):
+            continue
+        merged[start] = f"B-{entity_type}"
+        for idx in range(start + 1, end):
+            merged[idx] = f"I-{entity_type}"
+    return merged
+
+
 def repair_bio(labels: Sequence[str]) -> List[str]:
     """Normalize labels and promote orphan I- tags to B- tags."""
     repaired: List[str] = []

@@ -1,0 +1,286 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators over a ``documents(doc_id, text)``-shaped
+table.  Scale shape:
+
+* signatures are computed in numpy inside Arrow batches (one pass, narrow);
+* candidate generation is an equi-join on LSH band buckets / SimHash bands
+  — never an all-pairs comparison;
+* verification (exact Jaccard / Hamming) runs only on bucket-collision
+  pairs, again Arrow-batched;
+* duplicate groups come from connected components over verified pairs
+  (size-adaptive local/distributed, operators/components.py).
+
+All hashing is blake2b-based and fully deterministic across processes
+(no PYTHONHASHSEED dependence), so results are partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from islamic_ner_spark.operators.components import connected_components
+
+_MERSENNE_PRIME = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _stable_hash64(token: str) -> int:
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-character shingle hashes (uint64) of a document."""
+    if len(text) < k:
+        shingles = {text} if text else set()
+    else:
+        shingles = {text[i : i + k] for i in range(len(text) - k + 1)}
+    if not shingles:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (_stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on content (A1-shaped)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) via vectorized universal hashing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = _perm_params(num_perm, seed)
+        for batch in batches:
+            sigs: List[List[int]] = []
+            for text in batch[text_col]:
+                hashes = _shingle_hashes(text or "", shingle_k)
+                if hashes.size == 0:
+                    sigs.append([0] * num_perm)
+                    continue
+                # (num_perm, n) broadcast: (a*h + b) mod p, truncated to 32 bits
+                values = (a[:, None] * hashes[None, :] + b[:, None]) % _MERSENNE_PRIME
+                sigs.append((values.min(axis=1) & _MAX_HASH).astype(np.int64).tolist())
+            yield pd.DataFrame({"id": batch[id_col], "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="id long, signature array<long>"
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 16
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_id, band_hash)."""
+    rows_per_band = (F.size("signature") / bands).cast("int")
+    banded = (
+        signatures.select(
+            "id",
+            "signature",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        )
+        .select(
+            "id",
+            "band_id",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.slice("signature", F.col("band_id") * rows_per_band + 1, rows_per_band),
+                )
+            ).alias("band_hash"),
+        )
+    )
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard_pairs(
+    candidate_pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs (Arrow batch)."""
+    texts = df.select(F.col(id_col).alias("vid"), F.col(text_col).alias("vtext"))
+    with_texts = (
+        candidate_pairs.join(texts, candidate_pairs["id_a"] == texts["vid"])
+        .select("id_a", "id_b", F.col("vtext").alias("text_a"))
+        .join(texts, F.col("id_b") == texts["vid"])
+        .select("id_a", "id_b", "text_a", F.col("vtext").alias("text_b"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            scores = []
+            for ta, tb in zip(batch["text_a"], batch["text_b"]):
+                sa = set((ta or "")[i : i + shingle_k] for i in range(max(1, len(ta or "") - shingle_k + 1)))
+                sb = set((tb or "")[i : i + shingle_k] for i in range(max(1, len(tb or "") - shingle_k + 1)))
+                union = len(sa | sb)
+                scores.append(len(sa & sb) / union if union else 0.0)
+            out = batch[["id_a", "id_b"]].copy()
+            out["jaccard"] = scores
+            yield out
+
+    scored = with_texts.mapInPandas(run, schema="id_a long, id_b long, jaccard double")
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+def near_duplicate_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash -> LSH bands -> exact-Jaccard verify -> components.
+
+    Returns (id, group) where group is the min doc id of the duplicate
+    cluster; singletons are omitted (nothing to deduplicate)."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
+    )
+    candidates = lsh_candidate_pairs(sigs, bands=bands)
+    verified = verify_jaccard_pairs(
+        candidates, df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
+    )
+    edges = verified.select(
+        F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").cast("long").alias("id"), F.col("component").cast("long").alias("group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (weighted bit vote)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_positions = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            out = []
+            for text in batch[text_col]:
+                tokens = (text or "").split()
+                if not tokens:
+                    out.append(0)
+                    continue
+                votes = np.zeros(64, dtype=np.int64)
+                for token in tokens:
+                    h = np.uint64(_stable_hash64(token))
+                    bits = (h >> bit_positions) & np.uint64(1)
+                    votes += np.where(bits == 1, 1, -1)
+                sig = int(((votes > 0).astype(np.uint64) << bit_positions).sum())
+                # store as signed 64-bit for Spark LongType
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"id": batch[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema="id long, simhash long")
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs via 4x16-bit band buckets (any pair within Hamming
+    distance 3 must agree on at least one band), verified exactly."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_value"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_value")
+
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_value") == F.col("b.band_value"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -239,14 +239,24 @@ def build_resolution_table(
     return exact_hits.unionByName(fuzzy_hits).unionByName(new_hits)
 
 
-def resolve_triples(triples: DataFrame, resolution: DataFrame) -> DataFrame:
+def resolve_triples(
+    triples: DataFrame, resolution: DataFrame, *, broadcast_resolution: bool = True
+) -> DataFrame:
     """Attach canonical endpoints to every triple (L5, builder.py:285-323).
 
     HADITH_REF endpoints canonicalize to the turn's ``doc_id`` (the
     metadata hadith_id always exists in this pipeline, builder.py:313-321);
-    linkable endpoints join the resolution table.  AQE will broadcast the
-    resolution side when small and skew-split when not.
+    linkable endpoints join the resolution table.
+
+    The resolution table is the *distinct mention vocabulary* — orders of
+    magnitude smaller than the triple table — so it is broadcast by
+    default (Catalyst sees a UDF/union plan with unknown stats and would
+    otherwise pick a sort-merge join over the full fact table).  Pass
+    ``broadcast_resolution=False`` for extreme vocabularies; AQE's skew
+    join then handles the shuffle.
     """
+    if broadcast_resolution:
+        resolution = F.broadcast(resolution)
     subj_res = resolution.select(
         F.col("text").alias("subj_text"),
         F.col("entity_type").alias("subj_type"),

@@ -1,64 +1,160 @@
-"""Annotate stage: transcripts -> normalized text + tokens + BIO labels.
+"""Annotate stage: transcripts -> tokens/labels + mention & triple arrays.
 
-One narrow ``mapInPandas`` pass (no shuffle): per turn, normalize (P1-P8),
-tokenize (P11), run isnad/hadith-ref/gazetteer mention detection with the
-broadcast Aho-Corasick automaton (M1-M15), and emit token + label arrays.
-The JVM<->Python crossing is Arrow-batched; there is no per-row Python UDF
-anywhere (north-rule requirement).
+ONE narrow ``mapInPandas`` pass (no shuffle) does everything per-turn:
+normalize (P1-P8), tokenize (P11), mention detection with the broadcast
+Aho-Corasick automaton + isnad/hadith-ref pattern rules (M1-M15), BIO
+labels, entity spans, and triple extraction (R1-R6).  Downstream tables
+(mentions, triples) are then plain JVM-side ``explode``s of the array
+columns — the expensive Arrow crossing is paid exactly once per turn
+instead of once per consumer.
 
 Reference lifecycle being re-expressed: scripts/build_graph.py:363-421
-(normalize -> split -> NER labels) using the model-free gazetteer+pattern
-path (api/routes/ner.py:145-188, silver_annotator.annotate_from_raw).
+(normalize -> split -> NER -> relations) using the model-free
+gazetteer+pattern path (api/routes/ner.py:145-188,
+silver_annotator.annotate_from_raw).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, List, Sequence, Tuple
 
 import pandas as pd
 from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from islamic_ner_spark.functions.annotate import annotate_raw
-from islamic_ner_spark.functions.normalize import normalize
+MENTION_STRUCT = (
+    "struct<mention_idx:int,text:string,entity_type:string,"
+    "start_token:int,end_token:int>"
+)
+TRIPLE_STRUCT = (
+    "struct<rel_idx:int,pred:string,"
+    "subj_text:string,subj_type:string,subj_start:int,subj_end:int,"
+    "obj_text:string,obj_type:string,obj_start:int,obj_end:int,"
+    "confidence:double,evidence:string>"
+)
 
 ANNOTATED_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
-    "doc_id string, norm_text string, tokens array<string>, labels array<string>"
+    "doc_id string, norm_text string, tokens array<string>, labels array<string>, "
+    f"mentions array<{MENTION_STRUCT}>, triples array<{TRIPLE_STRUCT}>"
 )
 
+LABELED_ANNOTATED_SCHEMA = ANNOTATED_SCHEMA  # same shape, text-free path
+
 _PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts"]
+
+
+def mentions_and_triples(
+    tokens: Sequence[str], labels: Sequence[str], doc_id: str
+) -> Tuple[List[tuple], List[tuple]]:
+    """Entity spans + relations of one turn as struct-tuples."""
+    from islamic_ner_spark.functions.relations import (
+        bio_to_entity_spans,
+        extract_relations,
+    )
+
+    spans = bio_to_entity_spans(list(tokens), list(labels))
+    mention_rows = [
+        (idx, s["text"], s["type"], s["start"], s["end"])
+        for idx, s in enumerate(spans)
+    ]
+    relations = extract_relations(
+        list(tokens), list(labels), metadata={"hadith_id": doc_id}
+    )
+    triple_rows = [
+        (
+            idx,
+            rel["type"],
+            rel["source"]["text"], rel["source"]["type"],
+            rel["source"]["start"], rel["source"]["end"],
+            rel["target"]["text"], rel["target"]["type"],
+            rel["target"]["start"], rel["target"]["end"],
+            float(rel["confidence"]), rel["evidence"],
+        )
+        for idx, rel in enumerate(relations)
+    ]
+    return mention_rows, triple_rows
 
 
 def annotate_transcripts(transcripts: DataFrame, gazetteer_bc: Broadcast) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> annotated.
 
     ``doc_id`` = ``conv_id:turn_idx`` is the per-turn document identity
-    (the reference's ``hadith_id``) used as edge provenance
+    (the reference's ``hadith_id``), used as edge provenance
     (``source_hadith``) downstream.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from islamic_ner_spark.functions.annotate import annotate_raw
+        from islamic_ner_spark.functions.normalize import normalize
+
         gazetteer = gazetteer_bc.value
         for batch in batches:
-            norm_texts = [normalize(t) if t is not None else "" for t in batch["text"]]
-            token_rows = []
-            label_rows = []
-            for ntext in norm_texts:
-                tokens, labels = annotate_raw(ntext, gazetteer, is_normalized=True)
-                token_rows.append(tokens)
-                label_rows.append(labels)
-            out = batch[_PASSTHROUGH].copy()
-            out["doc_id"] = (
+            doc_ids = (
                 batch["conv_id"].astype(str) + ":" + batch["turn_idx"].astype(str)
             )
+            norm_texts, token_rows, label_rows = [], [], []
+            mention_rows, triple_rows = [], []
+            for text, doc_id in zip(batch["text"], doc_ids):
+                ntext = normalize(text) if text is not None else ""
+                tokens, labels = annotate_raw(ntext, gazetteer, is_normalized=True)
+                mentions, triples = mentions_and_triples(tokens, labels, doc_id)
+                norm_texts.append(ntext)
+                token_rows.append(tokens)
+                label_rows.append(labels)
+                mention_rows.append(mentions)
+                triple_rows.append(triples)
+            out = batch[_PASSTHROUGH].copy()
+            out["doc_id"] = doc_ids
             out["norm_text"] = norm_texts
             out["tokens"] = token_rows
             out["labels"] = label_rows
+            out["mentions"] = mention_rows
+            out["triples"] = triple_rows
             yield out
 
     return transcripts.mapInPandas(run, schema=ANNOTATED_SCHEMA)
+
+
+def annotate_labeled(labeled: DataFrame) -> DataFrame:
+    """Pre-labeled input (conv_id, turn_idx, tokens, labels) -> annotated.
+
+    The reference's ``process_hadith(tokens, labels, hadith_id)`` entry
+    shape (builder.py:134-209) — e.g. externally produced model-NER
+    labels skip text annotation but share every later stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            doc_ids = (
+                batch["conv_id"].astype(str) + ":" + batch["turn_idx"].astype(str)
+            )
+            norm_texts, mention_rows, triple_rows = [], [], []
+            for tokens, labels, doc_id in zip(batch["tokens"], batch["labels"], doc_ids):
+                mentions, triples = mentions_and_triples(
+                    list(tokens), list(labels), doc_id
+                )
+                norm_texts.append(" ".join(tokens))
+                mention_rows.append(mentions)
+                triple_rows.append(triples)
+            out = pd.DataFrame(
+                {
+                    "conv_id": batch["conv_id"],
+                    "turn_idx": batch["turn_idx"],
+                    "role": None,
+                    "tool": None,
+                    "ts": pd.NaT,
+                    "doc_id": doc_ids,
+                    "norm_text": norm_texts,
+                    "tokens": batch["tokens"],
+                    "labels": batch["labels"],
+                    "mentions": mention_rows,
+                    "triples": triple_rows,
+                }
+            )
+            yield out
+
+    return labeled.mapInPandas(run, schema=LABELED_ANNOTATED_SCHEMA)
 
 
 def ordered_turns(transcripts: DataFrame) -> DataFrame:

@@ -290,6 +290,51 @@ def q_kg_scholar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(scholar_pairs)
 
 
+def _documents_with_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a deterministic near-duplicate of each doc (id+10^6,
+    first 12 chars dropped) — guarantees the near-dup operators have
+    positive findings to verify at any scale factor."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 13, 1_000_000).alias("text"),
+    )
+    return docs.unionByName(perturbed)
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from islamic_ner_spark.operators.dedup import near_duplicate_groups
+
+    corpus = _documents_with_perturbed(spark, sf_dir)
+    return near_duplicate_groups(corpus, threshold=0.7).orderBy("id")
+
+
+def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from islamic_ner_spark.operators.dedup import simhash_near_duplicates
+
+    corpus = _documents_with_perturbed(spark, sf_dir)
+    return simhash_near_duplicates(corpus, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from islamic_ner_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries, k=5, n_planes=16, bands=8)
+
+
+def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from islamic_ner_spark.operators.ner import annotate_transcripts
+    from islamic_ner_spark.operators.stats import label_distribution
+    from islamic_ner_spark.plans.pipeline import DEFAULT_GAZETTEER_DIR
+    from islamic_ner_spark.sources.gazetteer import Gazetteer
+
+    bc = spark.sparkContext.broadcast(Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR))
+    annotated = annotate_transcripts(_transcripts(spark, sf_dir), bc)
+    return label_distribution(annotated)
+
+
 QUERIES = {
     # SQL-oracled
     "normalize_documents": q_normalize_documents,
@@ -309,6 +354,11 @@ QUERIES = {
     "kg_resolution": q_kg_resolution,
     "kg_narration_chains": q_kg_narration_chains,
     "kg_scholar_components": q_kg_scholar_components,
+    # training-data pipeline (rows-only)
+    "neardup_minhash": q_neardup_minhash,
+    "neardup_simhash": q_neardup_simhash,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "label_distribution": q_label_distribution,
 }
 
 

@@ -62,11 +62,13 @@ def _fingerprint(*parts: object) -> str:
 def resolve_mentions_table(mentions: DataFrame, resolution: DataFrame) -> DataFrame:
     """Attach canonical/confidence to mention rows (HADITH_REF mentions
     canonicalize to their doc_id with confidence 1.0, builder.py:149-167)."""
-    res = resolution.select(
-        "text", "entity_type",
-        F.col("canonical_name").alias("canonical_name_r"),
-        F.col("confidence").alias("confidence_r"),
-        F.col("match_type").alias("match_type_r"),
+    res = F.broadcast(
+        resolution.select(
+            "text", "entity_type",
+            F.col("canonical_name").alias("canonical_name_r"),
+            F.col("confidence").alias("confidence_r"),
+            F.col("match_type").alias("match_type_r"),
+        )
     )
     return (
         mentions.join(res, ["text", "entity_type"], "left")
@@ -153,16 +155,12 @@ def build_graph_from_labels(
     ``labeled`` columns: conv_id string, turn_idx int, tokens
     array<string>, labels array<string>.
     """
-    annotated = labeled.select(
-        "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.lit(None).cast("string").alias("role"),
-        F.lit(None).cast("string").alias("tool"),
-        F.lit(None).cast("timestamp").alias("ts"),
-        F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"),
-        F.concat_ws(" ", "tokens").alias("norm_text"),
-        "tokens",
-        "labels",
+    from islamic_ner_spark.operators.ner import annotate_labeled
+
+    annotated = annotate_labeled(
+        labeled.select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "tokens", "labels"
+        )
     ).persist()
     return _build_from_annotated(
         spark, annotated, gazetteer or Gazetteer.from_dir(gazetteer_dir), work_dir=None,

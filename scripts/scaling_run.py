@@ -33,8 +33,15 @@ def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
             "SPARK_GRAFT_KG_ONLY": "1",
         }
     )
+    # Pin the whole process tree (JVM threads + Python UDF workers) to
+    # exactly `cpus` cores: in local mode Spark's Python workers run in
+    # separate processes, so an unpinned local[8] would silently consume
+    # up to 2x8 cores and overstate small-cluster throughput.
+    cmd = [sys.executable, str(REPO / "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,

@@ -1,0 +1,110 @@
+"""Dedup (exact / MinHash-LSH / SimHash) and ANN similarity operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from islamic_ner_spark.operators.dedup import (
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicate_groups,
+    simhash_near_duplicates,
+)
+from islamic_ner_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    topk_recall,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the "
+    "woods tonight while the moon rises slowly over the quiet hills"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),        # near dup of 0
+        (3, "spark query engines shuffle data between executors during wide transforms"),
+        (4, "spark query engines shuffle data between executors during wide transform"),
+        (5, "completely unrelated short document"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs) -> None:
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["members"] == [0, 1]
+    assert groups[0]["keep_id"] == 0
+
+
+def test_minhash_signature_determinism(docs, spark) -> None:
+    s1 = {r["id"]: tuple(r["signature"]) for r in minhash_signatures(docs).collect()}
+    s2 = {
+        r["id"]: tuple(r["signature"])
+        for r in minhash_signatures(docs.repartition(7)).collect()
+    }
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text -> identical signature
+    assert s1[0] != s1[3]
+
+
+def test_lsh_finds_near_dups(docs) -> None:
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_near_duplicate_groups(docs) -> None:
+    groups = {
+        r["id"]: r["group"] for r in near_duplicate_groups(docs, threshold=0.7).collect()
+    }
+    assert groups[0] == groups[1] == groups[2] == 0
+    assert groups[3] == groups[4] == 3
+    assert 5 not in groups  # singleton
+
+
+def test_simhash_near_duplicates(docs) -> None:
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(docs, max_hamming=10).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_shape(embeddings) -> None:
+    queries = embeddings.where(F.col("vec_id") < 5)
+    topk = brute_force_topk(embeddings, queries, k=3)
+    rows = topk.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cos_x1e6"]))
+    for ranked in by_q.values():
+        ranked.sort()
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_recall(embeddings) -> None:
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = lsh_topk(embeddings, queries, k=5, n_planes=16, bands=8)
+    recall = topk_recall(approx, exact)
+    assert recall >= 0.5, recall  # 8 bands of 2 bits -> high candidate recall
