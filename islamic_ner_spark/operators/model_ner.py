@@ -1,0 +1,143 @@
+"""Model-based NER stage (M12): chunked transformer labeling as a
+pluggable Arrow-UDF, with the gazetteer+pattern path as fallback.
+
+Parity target: WordLevelNER (scripts/build_graph.py:182-278) — word
+windows of 120, max sequence 512, first-subword label per word, safety
+O-fallback, BIO repair — and the API's model/fallback switch
+(api/routes/ner.py:289-340).
+
+The transformer stack is not installed in this container, so the model
+path is gated behind import-try; construction raises a clear error unless
+``allow_fallback=True``, in which case the stage degrades to the
+reference's own model-free gazetteer semantics (identical to
+operators/ner.annotate_transcripts).  The Spark-side shape — model loaded
+once per executor process, batched inference inside ``mapInPandas``,
+labels repaired and length-aligned — is real.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame
+
+try:  # pragma: no cover - not installed in this container
+    import torch  # noqa: F401
+    from transformers import AutoModelForTokenClassification, AutoTokenizer  # noqa: F401
+
+    HAVE_TRANSFORMERS = True
+except ImportError:
+    HAVE_TRANSFORMERS = False
+
+LABELED_SCHEMA = (
+    "conv_id string, turn_idx int, doc_id string, "
+    "tokens array<string>, labels array<string>, confidences array<double>"
+)
+
+
+def _predict_with_model(
+    model_dir: str, word_window: int, max_seq: int
+):  # pragma: no cover - requires transformers
+    """Per-executor model closure (loaded once per python worker)."""
+    import torch
+    from transformers import AutoModelForTokenClassification, AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_dir)
+    model = AutoModelForTokenClassification.from_pretrained(model_dir)
+    model.eval()
+    id2label = model.config.id2label
+
+    from islamic_ner_spark.functions.annotate import normalize_label, repair_bio
+
+    def predict(words: List[str]) -> tuple[List[str], List[float]]:
+        labels = ["O"] * len(words)
+        confidences = [0.0] * len(words)
+        for chunk_start in range(0, len(words), word_window):
+            chunk = words[chunk_start : chunk_start + word_window]
+            encoded = tokenizer(
+                chunk,
+                is_split_into_words=True,
+                return_tensors="pt",
+                truncation=True,
+                max_length=max_seq,
+            )
+            with torch.no_grad():
+                logits = model(**encoded).logits[0]
+                probabilities = torch.softmax(logits, dim=-1)
+                prediction_ids = torch.argmax(logits, dim=-1)
+            seen = set()
+            for token_index, word_id in enumerate(encoded.word_ids(batch_index=0)):
+                if word_id is None or word_id in seen or word_id >= len(chunk):
+                    continue
+                seen.add(word_id)
+                pred_id = int(prediction_ids[token_index])
+                labels[chunk_start + word_id] = normalize_label(
+                    str(id2label.get(pred_id, "O"))
+                )
+                confidences[chunk_start + word_id] = float(
+                    probabilities[token_index, pred_id]
+                )
+        return repair_bio(labels), confidences
+
+    return predict
+
+
+def model_ner_labels(
+    transcripts: DataFrame,
+    gazetteer_bc: Broadcast,
+    *,
+    model_dir: Optional[str] = None,
+    word_window: int = 120,
+    max_seq: int = 512,
+    allow_fallback: bool = True,
+) -> DataFrame:
+    """transcripts -> (tokens, labels, confidences) via model NER.
+
+    With no usable model the gazetteer fallback emits B=0.75/I=0.7 word
+    confidences exactly like the API's fallback (ner.py:145-188)."""
+    use_model = bool(model_dir) and HAVE_TRANSFORMERS
+    if not use_model and not allow_fallback:
+        raise RuntimeError(
+            "transformers/torch not available and allow_fallback=False "
+            "(install the model stack or use the gazetteer path)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from islamic_ner_spark.functions.annotate import annotate_raw
+        from islamic_ner_spark.functions.normalize import normalize
+
+        gazetteer = gazetteer_bc.value
+        predict = (
+            _predict_with_model(model_dir, word_window, max_seq) if use_model else None
+        )
+        for batch in batches:
+            doc_ids = batch["conv_id"].astype(str) + ":" + batch["turn_idx"].astype(str)
+            token_rows, label_rows, conf_rows = [], [], []
+            for text in batch["text"]:
+                ntext = normalize(text or "")
+                words = ntext.split()
+                if predict is not None:
+                    labels, confidences = predict(words)
+                else:
+                    _, labels = annotate_raw(ntext, gazetteer, is_normalized=True)
+                    confidences = [
+                        0.75 if l.startswith("B-") else 0.7 if l.startswith("I-") else 0.0
+                        for l in labels
+                    ]
+                token_rows.append(words)
+                label_rows.append(labels)
+                conf_rows.append(confidences)
+            yield pd.DataFrame(
+                {
+                    "conv_id": batch["conv_id"],
+                    "turn_idx": batch["turn_idx"],
+                    "doc_id": doc_ids,
+                    "tokens": token_rows,
+                    "labels": label_rows,
+                    "confidences": conf_rows,
+                }
+            )
+
+    return transcripts.mapInPandas(run, schema=LABELED_SCHEMA)
