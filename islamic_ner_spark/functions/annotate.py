@@ -22,8 +22,15 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from functools import lru_cache
+
 from islamic_ner_spark.functions.normalize import normalize
 from islamic_ner_spark.sources.gazetteer import Gazetteer
+
+# Token-level normalization dominates the annotate hot path and the token
+# vocabulary is heavily repetitive; normalize() is pure, so a bounded memo
+# is free throughput (≈40% of annotate_raw is repeated token normalize).
+norm_cached = lru_cache(maxsize=1 << 16)(normalize)
 
 TOKEN_RE = re.compile(r"\S+")
 _ARABIC_LETTER_RE = re.compile("[ء-ي]")
@@ -89,7 +96,7 @@ def _dedupe_char_spans(spans: List[Span]) -> List[Span]:
 
 def is_probable_name(text: str) -> bool:
     """Heuristic person-name filter (M5, silver_annotator.py:608-625)."""
-    tokens = normalize(text).split()
+    tokens = norm_cached(text).split()
     if not tokens or len(tokens) > 5:
         return False
     if any(tok in ENTITY_STOP for tok in tokens):
@@ -102,14 +109,19 @@ def is_probable_name(text: str) -> bool:
     return bool(_ARABIC_LETTER_RE.search(first))
 
 
+
+def _lookup_type(text: str, gazetteer: Gazetteer) -> Optional[str]:
+    entry = gazetteer.lookup.get(norm_cached(text))
+    return entry[1] if entry else None
+
 def _starts_with_proper_name(text: str, gazetteer: Gazetteer) -> bool:
-    tokens = normalize(text).split()
+    tokens = norm_cached(text).split()
     if not tokens:
         return False
     first = tokens[0]
     if first in NON_NAME_STARTERS:
         return False
-    if gazetteer.lookup_type(first) == "SCHOLAR":
+    if _lookup_type(first, gazetteer) == "SCHOLAR":
         return True
     return is_probable_name(first)
 
@@ -118,7 +130,7 @@ def classify_isnad_candidate(
     trigger_norm: str, candidate_text: str, gazetteer: Gazetteer
 ) -> Optional[str]:
     """Per-trigger candidate typing (M4, silver_annotator.py:573-606)."""
-    lookup_type = gazetteer.lookup_type(candidate_text)
+    lookup_type = _lookup_type(candidate_text, gazetteer)
     name_like = is_probable_name(candidate_text)
 
     if trigger_norm == "رواه":
@@ -136,7 +148,7 @@ def classify_isnad_candidate(
             return "SCHOLAR"
         if lookup_type == "BOOK":
             return None
-        tokens = normalize(candidate_text).split()
+        tokens = norm_cached(candidate_text).split()
         if len(tokens) >= 2:
             return "SCHOLAR"
         if tokens and tokens[0] in NAME_PREFIXES:
@@ -150,12 +162,22 @@ def classify_isnad_candidate(
     return None
 
 
-def isnad_pattern_spans(text: str, gazetteer: Gazetteer) -> List[Span]:
-    """Trigger-word SCHOLAR/BOOK candidates (M3, silver_annotator.py:155-232)."""
-    token_infos = tokenize_with_spans(text)
+def isnad_pattern_spans(
+    text: str,
+    gazetteer: Gazetteer,
+    token_infos: Optional[List[Tuple[str, int, int]]] = None,
+    norms: Optional[List[str]] = None,
+) -> List[Span]:
+    """Trigger-word SCHOLAR/BOOK candidates (M3, silver_annotator.py:155-232).
+
+    ``token_infos``/``norms`` may be precomputed by the caller (the fused
+    annotate pass tokenizes once for all three detectors)."""
+    if token_infos is None:
+        token_infos = tokenize_with_spans(text)
     if not token_infos:
         return []
-    norms = [normalize(tok) for tok, _, _ in token_infos]
+    if norms is None:
+        norms = [norm_cached(tok) for tok, _, _ in token_infos]
     spans: List[Span] = []
 
     for idx, trigger in enumerate(norms):
@@ -186,10 +208,16 @@ def isnad_pattern_spans(text: str, gazetteer: Gazetteer) -> List[Span]:
     return _dedupe_char_spans(spans)
 
 
-def hadith_ref_spans(text: str) -> List[Span]:
+def hadith_ref_spans(
+    text: str,
+    token_infos: Optional[List[Tuple[str, int, int]]] = None,
+    norms: Optional[List[str]] = None,
+) -> List[Span]:
     """Chapter/number reference spans (M6, silver_annotator.py:234-301)."""
-    token_infos = tokenize_with_spans(text)
-    norms = [normalize(tok) for tok, _, _ in token_infos]
+    if token_infos is None:
+        token_infos = tokenize_with_spans(text)
+    if norms is None:
+        norms = [norm_cached(tok) for tok, _, _ in token_infos]
     spans: List[Span] = []
 
     for idx, norm in enumerate(norms):
@@ -235,7 +263,7 @@ def apply_book_context(text: str, spans: List[Span], gazetteer: Gazetteer) -> Li
             out.append(adjusted)
             continue
         start = int(adjusted.get("start", 0))
-        prefix_tokens = normalize(text[max(0, start - 32) : start]).split()
+        prefix_tokens = norm_cached(text[max(0, start - 32) : start]).split()
         if not prefix_tokens:
             out.append(adjusted)
             continue
@@ -243,7 +271,7 @@ def apply_book_context(text: str, spans: List[Span], gazetteer: Gazetteer) -> Li
         if last == "رواه":
             out.append(adjusted)
             continue
-        known = gazetteer.lookup_type(str(adjusted.get("text", ""))) in ("SCHOLAR", "BOOK")
+        known = _lookup_type(str(adjusted.get("text", "")), gazetteer) in ("SCHOLAR", "BOOK")
         if known and (last in BOOK_CONTEXT_KEYWORDS or last == "في"):
             adjusted["type"] = "BOOK"
         out.append(adjusted)
@@ -355,12 +383,17 @@ def annotate_raw(
     ntext = text if is_normalized else normalize(text)
     token_infos = tokenize_with_spans(ntext)
     tokens = [tok for tok, _, _ in token_infos]
+    norms = [norm_cached(tok) for tok in tokens]
 
-    patterns = isnad_pattern_spans(ntext, gazetteer)
-    patterns.extend(hadith_ref_spans(ntext))
+    patterns = isnad_pattern_spans(ntext, gazetteer, token_infos, norms)
+    patterns.extend(hadith_ref_spans(ntext, token_infos, norms))
     patterns = apply_book_context(ntext, patterns, gazetteer)
 
-    gaz = gazetteer_spans(ntext, gazetteer, ENTITY_TYPES - {"HADITH_REF"})
+    # ntext is fully normalized, so the matcher's alignment map is the
+    # identity -> fast path (sources/gazetteer.match_normalized)
+    gaz = gazetteer_spans(
+        ntext, gazetteer, ENTITY_TYPES - {"HADITH_REF"}, text_is_normalized=True
+    )
     gaz = apply_book_context(ntext, gaz, gazetteer)
 
     labels = merge_label_sources(

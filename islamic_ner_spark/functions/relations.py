@@ -15,7 +15,13 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from functools import lru_cache
+
 from islamic_ner_spark.functions.normalize import normalize
+
+# bounded memo for the per-token re-normalization the reference does in
+# every extractor call (extract.py:171,232) — pure function, repetitive keys
+_norm_cached = lru_cache(maxsize=1 << 16)(normalize)
 
 # Known author -> book-title ground truth (extract.py:22-37).  Keys are
 # normalized at module load; values stay in raw orthography because the
@@ -178,7 +184,7 @@ def in_book_relations(
                 }
             )
         elif entity_type == "SCHOLAR":
-            mapped = author_book_map.get(normalize(str(entity["text"])))
+            mapped = author_book_map.get(_norm_cached(str(entity["text"])))
             if mapped:
                 relations.append(
                     {
@@ -226,16 +232,16 @@ def authorship_relations(
     """AUTHORED via ground-truth pairs (R4, extract.py:323-365); explicit
     BOOK mention matching the mapped title wins over the inferred entity."""
     books_by_norm = {
-        normalize(str(e["text"])): e for e in entities if e.get("type") == "BOOK"
+        _norm_cached(str(e["text"])): e for e in entities if e.get("type") == "BOOK"
     }
     relations: List[Relation] = []
     for scholar in entities:
         if scholar.get("type") != "SCHOLAR":
             continue
-        mapped = author_book_map.get(normalize(str(scholar["text"])))
+        mapped = author_book_map.get(_norm_cached(str(scholar["text"])))
         if not mapped:
             continue
-        explicit = books_by_norm.get(normalize(mapped))
+        explicit = books_by_norm.get(_norm_cached(mapped))
         if explicit is None:
             target: Entity = {"text": mapped, "type": "BOOK", "start": -1, "end": -1}
             evidence = "known scholar-book ground truth pair (inferred)"
@@ -289,7 +295,7 @@ def extract_relations(
     """Full R1-R6 orchestration (extract.py:49-65)."""
     abm = AUTHOR_BOOK_MAP if author_book_map is None else author_book_map
     entities = bio_to_entity_spans(tokens, labels)
-    norm_tokens = [normalize(t) for t in tokens]
+    norm_tokens = [_norm_cached(t) for t in tokens]
     relations: List[Relation] = []
     relations.extend(narration_chain_relations(norm_tokens, entities))
     relations.extend(in_book_relations(tokens, norm_tokens, entities, metadata, abm))
