@@ -191,12 +191,20 @@ def build_graph(
         annotated = _annotate_resumable(
             spark, transcripts, gazetteer_bc, work_dir, fingerprint, n_buckets
         )
+        extracted = annotated
     else:
-        annotated = annotate_transcripts(transcripts, gazetteer_bc).persist()
+        annotated = annotate_transcripts(transcripts, gazetteer_bc)
+        # Only the extraction outputs feed the KG stages; tokens/labels/
+        # norm_text are the bulk of the row and caching them would
+        # dominate the stage cost.  The full annotated view stays lazy
+        # (recomputed on demand for audits/stats).
+        extracted = annotated.select(
+            "conv_id", "turn_idx", "doc_id", "mentions", "triples"
+        ).persist()
 
     return _build_from_annotated(
         spark, annotated, gazetteer, work_dir=work_dir, fingerprint=fingerprint,
-        gazetteer_bc=gazetteer_bc,
+        gazetteer_bc=gazetteer_bc, extracted=extracted,
     )
 
 
@@ -208,13 +216,16 @@ def _build_from_annotated(
     work_dir: Optional[str],
     fingerprint: str,
     gazetteer_bc=None,
+    extracted: Optional[DataFrame] = None,
 ) -> GraphBuildResult:
     if gazetteer_bc is None:
         gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
+    if extracted is None:
+        extracted = annotated
     gazetteer_df = gazetteer.to_dataframe(spark)
 
-    mentions = extract_mentions(annotated)
-    triples = extract_triples(annotated)
+    mentions = extract_mentions(extracted)
+    triples = extract_triples(extracted)
 
     if work_dir:
         for name, df in (("mentions", mentions), ("triples", triples)):
@@ -224,8 +235,7 @@ def _build_from_annotated(
         mentions = tables.read_table(spark, str(Path(work_dir) / "mentions"))
         triples = tables.read_table(spark, str(Path(work_dir) / "triples"))
     else:
-        mentions = mentions.persist()
-        triples = triples.persist()
+        pass  # mentions/triples are cheap explodes of the cached `extracted`
 
     resolution = build_resolution_table(spark, mentions, triples, gazetteer_df, gazetteer_bc)
     if work_dir:
@@ -239,7 +249,7 @@ def _build_from_annotated(
     resolved_triples = resolve_triples(triples, resolution)
     resolved_mentions = resolve_mentions_table(mentions, resolution)
 
-    doc_index = annotated.select("conv_id", "turn_idx", "doc_id")
+    doc_index = extracted.select("conv_id", "turn_idx", "doc_id")
     nodes = build_nodes(resolved_mentions, doc_index, resolved_triples)
     edges = build_edges(resolved_triples)
 
