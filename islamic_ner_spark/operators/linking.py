@@ -225,9 +225,6 @@ def build_resolution_table(
     new_strings = fuzzy.where(F.col("fuzzy_canonical").isNull()).select(
         "text", "entity_type", "norm_text"
     )
-    if new_strings.isEmpty():
-        return exact_hits.unionByName(fuzzy_hits)
-
     new_canon = _canonicalize_new(spark, new_strings)
     new_hits = new_strings.join(new_canon, ["entity_type", "norm_text"]).select(
         "text", "entity_type", "norm_text",
@@ -240,7 +237,7 @@ def build_resolution_table(
 
 
 def resolve_triples(
-    triples: DataFrame, resolution: DataFrame, *, broadcast_resolution: bool = True
+    triples: DataFrame, resolution: DataFrame, *, broadcast_resolution: bool = False
 ) -> DataFrame:
     """Attach canonical endpoints to every triple (L5, builder.py:285-323).
 

@@ -62,13 +62,13 @@ def _fingerprint(*parts: object) -> str:
 def resolve_mentions_table(mentions: DataFrame, resolution: DataFrame) -> DataFrame:
     """Attach canonical/confidence to mention rows (HADITH_REF mentions
     canonicalize to their doc_id with confidence 1.0, builder.py:149-167)."""
-    res = F.broadcast(
-        resolution.select(
-            "text", "entity_type",
-            F.col("canonical_name").alias("canonical_name_r"),
-            F.col("confidence").alias("confidence_r"),
-            F.col("match_type").alias("match_type_r"),
-        )
+    # resolution is persisted by the pipeline; AQE broadcasts it at
+    # runtime based on its actual (small) size
+    res = resolution.select(
+        "text", "entity_type",
+        F.col("canonical_name").alias("canonical_name_r"),
+        F.col("confidence").alias("confidence_r"),
+        F.col("match_type").alias("match_type_r"),
     )
     return (
         mentions.join(res, ["text", "entity_type"], "left")
@@ -261,8 +261,10 @@ def _build_from_annotated(
         nodes = tables.read_table(spark, str(Path(work_dir) / "nodes"))
         edges = tables.read_table(spark, str(Path(work_dir) / "edges"))
     else:
-        # consumed by multiple downstream actions (stats, queries, counts)
-        resolved_triples = resolved_triples.persist()
+        # Aggregated outputs are consumed repeatedly (stats, queries,
+        # counts) and are much cheaper to recompute-from-cache than the
+        # full rows are to columnar-compress; only the small aggregates
+        # get cached.
         nodes = nodes.persist()
         edges = edges.persist()
 
