@@ -60,8 +60,14 @@ def main() -> None:
     start = time.time()
     transcripts = spark.read.parquet(staging)
     result = build_graph(spark, transcripts)
-    n_triples = result.resolved_triples.count()
-    n_edges = result.edges.count()
+    # one action materializes the edge table; sum(merge_count) IS the
+    # resolved-triple count (each emitted triple contributes exactly one
+    # merge), so no separate full pass over resolved_triples is needed
+    edge_agg = result.edges.agg(
+        F.count(F.lit(1)).alias("edges"), F.sum("merge_count").alias("triples")
+    ).collect()[0]
+    n_edges = int(edge_agg["edges"])
+    n_triples = int(edge_agg["triples"])
     n_nodes = result.nodes.count()
     kg_seconds = time.time() - start
     timings["kg_build_e2e"] = round(kg_seconds, 3)

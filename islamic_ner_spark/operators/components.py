@@ -60,14 +60,13 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _local_components(edges: DataFrame) -> DataFrame:
-    """Driver-side union-find for small edge sets.
+def _local_components(spark, rows) -> DataFrame:
+    """Driver-side union-find for small (already collected) edge lists.
 
     Below ``local_threshold`` the iterative join rounds cost far more in
-    job overhead than the data justifies; collecting a few-hundred-KB edge
-    list and solving locally is the standard hybrid cutover (the same
-    min-label semantics, so results are identical to the distributed
-    path)."""
+    job overhead than the data justifies; solving a few-hundred-KB edge
+    list locally is the standard hybrid cutover (the same min-label
+    semantics, so results are identical to the distributed path)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -79,16 +78,20 @@ def _local_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.select("src", "dst").collect():
+    for row in rows:
         ra, rb = find(row["src"]), find(row["dst"])
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
     mapping = [(node, find(node)) for node in parent]
-    return edges.sparkSession.createDataFrame(
-        mapping or [("", "")], "node string, component string"
-    ).where(F.col("node") != "")
+    # single partition: a locally-solved mapping is tiny, and fanning it
+    # over defaultParallelism tasks just adds scheduling overhead
+    return (
+        spark.createDataFrame(mapping or [("", "")], "node string, component string")
+        .coalesce(1)
+        .where(F.col("node") != "")
+    )
 
 
 def connected_components(
@@ -105,14 +108,20 @@ def connected_components(
     shuffle/job overhead); larger graphs run the iterative
     large-star/small-star rounds.
     """
+    spark = edges.sparkSession
     current = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+
+    # one probing job decides the strategy AND, for the (common) small
+    # case, already delivers the data — vs the 3 driver round-trips of
+    # checkpoint + count + collect
+    probe = current.limit(local_threshold + 1).collect()
+    if not probe:
+        return spark.createDataFrame([], "node string, component string")
+    if len(probe) <= local_threshold:
+        return _local_components(spark, probe)
+
     current = current.localCheckpoint(eager=True)
     signature = _signature(current)
-    if signature[0] == 0:
-        # no edges -> no components beyond singletons; skip the loop
-        return current.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-    if signature[0] <= local_threshold:
-        return _local_components(current)
 
     for _ in range(max_iterations):
         current = _small_star(_large_star(current)).localCheckpoint(eager=True)

@@ -21,6 +21,8 @@ HADITH_REF->(Hadith, hadith_id).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,17 +43,12 @@ def _label_expr(type_col: str) -> F.Column:
     return expr
 
 
-def _order_col() -> F.Column:
-    """Stable write-order surrogate: (conv_id, turn_idx, within-doc idx)."""
-    return F.struct(
-        F.col("conv_id"), F.col("turn_idx").cast("int"), F.col("emit_idx").cast("long")
-    )
-
-
 def build_nodes(
     resolved_mentions: DataFrame,
     doc_index: DataFrame,
     resolved_triples: DataFrame | None = None,
+    *,
+    exclude_doc_scoped: bool = False,
 ) -> DataFrame:
     """Node table from resolved mention spans + one Hadith node per doc +
     triple endpoints (inferred entities, e.g. author-map books, exist only
@@ -61,9 +58,18 @@ def build_nodes(
     ``resolved_mentions`` columns: conv_id, turn_idx, doc_id, mention_idx,
     text, entity_type, canonical_name, confidence, match_type.
     ``doc_index`` columns: conv_id, turn_idx, doc_id (distinct docs).
+
+    With ``exclude_doc_scoped=True`` all HADITH_REF-typed rows (whose node
+    key is the per-turn ``doc_id``) are left out: the pipeline computes
+    those with the shuffle-free :func:`build_hadith_nodes_turn_local` and
+    unions them in, so the global agg only shuffles vocabulary-keyed rows
+    (which map-side partial aggregation collapses to ~|vocabulary| rows
+    per partition instead of ~|corpus| doc-keyed rows).
     """
+    keep_types = [t for t in NODE_LABELS if not (
+        exclude_doc_scoped and t == "HADITH_REF")]
     linkable = resolved_mentions.where(
-        F.col("entity_type").isin(list(NODE_LABELS))
+        F.col("entity_type").isin(keep_types)
     ).select(
         "conv_id",
         "turn_idx",
@@ -87,7 +93,7 @@ def build_nodes(
         F.lit(1.0).alias("confidence"),
     )
 
-    rows = linkable.unionByName(hadith_meta)
+    rows = linkable if exclude_doc_scoped else linkable.unionByName(hadith_meta)
 
     if resolved_triples is not None:
         def endpoint(side: str, offset: int) -> DataFrame:
@@ -106,20 +112,38 @@ def build_nodes(
                 F.coalesce(F.col(f"{side}_confidence_r"), F.lit(1.0)).alias(
                     "confidence"
                 ),
-            ).where(F.col("entity_type").isin(list(NODE_LABELS)))
+            ).where(F.col("entity_type").isin(keep_types))
 
         rows = rows.unionByName(endpoint("subj", 0)).unionByName(endpoint("obj", 1))
 
     rows = rows.withColumn("label", _label_expr("entity_type"))
 
-    order = _order_col()
+    # single struct-max carries both last-writer payloads in one agg
+    # buffer (vs two max_by(col, order) buffers); order fields lead, so
+    # struct comparison == last-writer-wins
+    winner = F.max(
+        F.struct(
+            F.col("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("emit_idx").cast("long").alias("emit_idx"),
+            F.col("original_text"),
+            F.col("confidence"),
+        )
+    ).alias("w")
     return (
         rows.groupBy("label", "key")
         .agg(
-            F.max_by("original_text", order).alias("name_ar"),
-            F.max_by("confidence", order).alias("confidence"),
+            winner,
             F.array_sort(F.collect_set("original_text")).alias("variants"),
             F.count(F.lit(1)).alias("mention_count"),
+        )
+        .select(
+            "label",
+            "key",
+            F.col("w.original_text").alias("name_ar"),
+            F.col("w.confidence").alias("confidence"),
+            "variants",
+            "mention_count",
         )
         # Hadith nodes carry provenance fields, empty for transcript input
         # (builder.py:339-343); Book author / Concept category default ""
@@ -128,13 +152,104 @@ def build_nodes(
     )
 
 
+def build_hadith_nodes_turn_local(extracted: DataFrame) -> DataFrame:
+    """Hadith (doc-scoped) nodes as a pure narrow projection — no shuffle.
+
+    A Hadith node's key is the turn's ``doc_id``, so every row that could
+    merge into it comes from that one turn: HADITH_REF mention spans,
+    the per-doc metadata row, and HADITH_REF triple endpoints
+    (builder.py:149-167, 313-322).  All of those are available in the
+    annotate output's array columns, so the whole MERGE collapses to a
+    per-row expression:
+
+    * name_ar / confidence: the last writer is the metadata row or a
+      HADITH_REF endpoint — both carry (doc_id, 1.0) — so the outcome is
+      constant.
+    * variants: {doc_id} ∪ {HADITH_REF mention surface texts}.
+    * mention_count: 1 (metadata) + #HADITH_REF mentions + #HADITH_REF
+      endpoints.
+
+    Equivalence with the global groupBy strategy is asserted in
+    tests/test_graph_pipeline.py; requires one input row per turn (the
+    transcripts-table natural key).
+
+    ``extracted`` columns: conv_id, turn_idx, doc_id,
+    mentions array<struct<..entity_type,text..>>, triples array<struct<..>>.
+    """
+    is_href = lambda m: m["entity_type"] == "HADITH_REF"  # noqa: E731
+    href_mentions = F.filter("mentions", is_href)
+    n_href_endpoints = F.size(
+        F.filter("triples", lambda t: t["subj_type"] == "HADITH_REF")
+    ) + F.size(F.filter("triples", lambda t: t["obj_type"] == "HADITH_REF"))
+
+    return extracted.select(
+        F.lit("Hadith").alias("label"),
+        F.col("doc_id").alias("key"),
+        F.col("doc_id").alias("name_ar"),
+        F.lit(1.0).alias("confidence"),
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("doc_id")),
+                    F.transform(href_mentions, lambda m: m["text"]),
+                )
+            )
+        ).alias("variants"),
+        (F.lit(1) + F.size(href_mentions) + n_href_endpoints)
+        .cast("long")
+        .alias("mention_count"),
+        F.lit("").alias("book_ref"),
+        F.lit("").alias("chapter"),
+    )
+
+
 def build_edges(resolved_triples: DataFrame) -> DataFrame:
     """Edge table from resolved triples with MERGE-upsert aggregation.
 
     ``resolved_triples``: output of linking.resolve_triples — must carry
     subj_canonical/obj_canonical, source_hadith, rel_idx.
+
+    General-purpose (any input partitioning) global-groupBy strategy; the
+    pipeline uses the shuffle-free :func:`build_edges_turn_local` variant.
     """
-    rows = resolved_triples.select(
+    rows = _edge_rows(resolved_triples)
+
+    # single struct-min carries both payloads in one agg buffer (half the
+    # sort width of two min_by(col, order) buffers); the order fields
+    # lead, so struct comparison == first-writer-wins
+    winner = F.min(
+        F.struct(
+            F.col("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("emit_idx").cast("long").alias("emit_idx"),
+            F.col("confidence"),
+            F.col("evidence"),
+        )
+    ).alias("w")
+    return (
+        rows.groupBy(*EDGE_KEY)
+        .agg(winner, F.count(F.lit(1)).alias("merge_count"))
+        .select(
+            *EDGE_KEY,
+            F.col("w.confidence").alias("confidence"),
+            F.col("w.evidence").alias("evidence"),
+            "merge_count",
+        )
+    )
+
+
+EDGE_KEY = ["pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith"]
+
+_EDGES_OUT_SCHEMA = (
+    "pred string, src_label string, src_key string, tgt_label string, "
+    "tgt_key string, source_hadith string, confidence double, "
+    "evidence string, merge_count long"
+)
+
+
+def _edge_rows(resolved_triples: DataFrame) -> DataFrame:
+    """Shared projection + validity filter for both edge-merge strategies."""
+    return resolved_triples.select(
         "conv_id",
         "turn_idx",
         F.col("rel_idx").alias("emit_idx"),
@@ -155,15 +270,80 @@ def build_edges(resolved_triples: DataFrame) -> DataFrame:
         & F.col("tgt_label").isNotNull()
     )
 
-    order = _order_col()
-    first = lambda col: F.min_by(col, order)  # noqa: E731
-    return rows.groupBy(
-        "pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith"
-    ).agg(
-        first("confidence").alias("confidence"),
-        first("evidence").alias("evidence"),
-        F.count(F.lit(1)).alias("merge_count"),
+
+def build_edges_turn_local(resolved_triples: DataFrame) -> DataFrame:
+    """Shuffle-free edge MERGE for pipeline-produced triples.
+
+    The edge MERGE key includes ``source_hadith``, which in this pipeline
+    is the per-turn ``doc_id`` (``conv_id:turn_idx``) — so the MERGE can
+    only ever combine rows of a *single turn*.  A turn's triples are
+    contiguous within one partition (they come from one exploded array
+    row, and ``resolve_triples`` joins the resolution table as a
+    broadcast, which preserves the stream side's partitioning and order).
+    The global groupBy of :func:`build_edges` is therefore a no-op across
+    turns, and at 16+ cores its SortAggregate + full-row Exchange was the
+    measured scaling bottleneck (per-record CPU inflates ~5x with core
+    count; see BENCH.md).  This operator does the same first-writer-wins
+    merge per turn in an Arrow-batched pass with NO exchange at all.
+
+    Requires: all rows of one ``source_hadith`` contiguous within a
+    partition.  Use :func:`build_edges` for inputs of unknown layout
+    (results are identical; verified in tests/test_graph_pipeline.py).
+    """
+    rows = _edge_rows(resolved_triples).select(
+        "pred", "src_label", "src_key", "tgt_label", "tgt_key",
+        "source_hadith", "confidence", "evidence", "emit_idx",
     )
+
+    def merge(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        key_cols = EDGE_KEY
+
+        def flush(chunk: pd.DataFrame) -> pd.DataFrame | None:
+            if chunk.empty:
+                return None
+            # first-writer-wins per key in emit order within each doc run
+            run = (chunk["source_hadith"] != chunk["source_hadith"].shift()).cumsum()
+            order = np.lexsort((chunk["emit_idx"].to_numpy(), run.to_numpy()))
+            if not (np.diff(order) > 0).all():
+                chunk = chunk.iloc[order]
+            if not chunk.duplicated(subset=key_cols).any():
+                out = chunk.drop(columns=["emit_idx"]).copy()
+                out["merge_count"] = np.int64(1)
+                return out
+            out = chunk.groupby(key_cols, sort=False, as_index=False).agg(
+                confidence=("confidence", "first"),
+                evidence=("evidence", "first"),
+                merge_count=("evidence", "size"),
+            )
+            return out[key_cols + ["confidence", "evidence", "merge_count"]]
+
+        tail: pd.DataFrame | None = None
+        for batch in batches:
+            if tail is not None and len(tail):
+                batch = pd.concat([tail, batch], ignore_index=True)
+                tail = None
+            if batch.empty:
+                continue
+            doc = batch["source_hadith"].to_numpy()
+            trailing = doc == doc[-1]
+            # rows of the last doc may continue into the next Arrow batch;
+            # hold them back (a turn's rows are contiguous, so the trailing
+            # run is exactly the incomplete group)
+            rev = trailing[::-1]
+            head_len = len(batch) - (len(batch) if rev.all() else int(np.argmin(rev)))
+            tail = batch.iloc[head_len:]
+            head = flush(batch.iloc[:head_len])
+            if head is not None and len(head):
+                yield head
+        if tail is not None and len(tail):
+            final = flush(tail)
+            if final is not None and len(final):
+                yield final
+
+    return rows.mapInPandas(merge, schema=_EDGES_OUT_SCHEMA)
 
 
 def merge_edges_incremental(existing: DataFrame, incoming: DataFrame) -> DataFrame:

@@ -237,7 +237,7 @@ def build_resolution_table(
 
 
 def resolve_triples(
-    triples: DataFrame, resolution: DataFrame, *, broadcast_resolution: bool = False
+    triples: DataFrame, resolution: DataFrame, *, broadcast_resolution: bool = True
 ) -> DataFrame:
     """Attach canonical endpoints to every triple (L5, builder.py:285-323).
 

@@ -27,7 +27,13 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from islamic_ner_spark.operators.graph import build_edges, build_nodes, graph_stats
+from islamic_ner_spark.operators.graph import (
+    build_edges,
+    build_edges_turn_local,
+    build_hadith_nodes_turn_local,
+    build_nodes,
+    graph_stats,
+)
 from islamic_ner_spark.operators.linking import (
     build_resolution_table,
     resolve_triples,
@@ -165,6 +171,10 @@ def build_graph_from_labels(
     return _build_from_annotated(
         spark, annotated, gazetteer or Gazetteer.from_dir(gazetteer_dir), work_dir=None,
         fingerprint="labels",
+        # arbitrary labeled input may repeat (conv_id, turn_idx) rows, so
+        # neither turn contiguity nor turn uniqueness is guaranteed ->
+        # global groupBy merges for both edges and nodes
+        unique_turns=False,
     )
 
 
@@ -182,6 +192,11 @@ def build_graph(
     Without ``work_dir`` the plan stays lazy (annotated is persisted since
     two children consume it).  With ``work_dir`` every stage materializes
     to parquet + manifest and re-runs resume from completed work.
+
+    Input contract: ``transcripts`` has at most one row per
+    (conv_id, turn_idx) — the transcripts table's natural key per
+    BASELINE.json input_hint.  The shuffle-free edge merge relies on it
+    (each turn's triples then provably share a partition).
     """
     gazetteer = gazetteer or Gazetteer.from_dir(gazetteer_dir)
     gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
@@ -217,6 +232,7 @@ def _build_from_annotated(
     fingerprint: str,
     gazetteer_bc=None,
     extracted: Optional[DataFrame] = None,
+    unique_turns: bool = True,
 ) -> GraphBuildResult:
     if gazetteer_bc is None:
         gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
@@ -250,8 +266,25 @@ def _build_from_annotated(
     resolved_mentions = resolve_mentions_table(mentions, resolution)
 
     doc_index = extracted.select("conv_id", "turn_idx", "doc_id")
-    nodes = build_nodes(resolved_mentions, doc_index, resolved_triples)
-    edges = build_edges(resolved_triples)
+    if unique_turns:
+        # doc-scoped (Hadith) nodes are a narrow per-turn projection; only
+        # vocabulary-keyed rows go through the global agg, where map-side
+        # partial aggregation collapses them to ~|vocabulary| per partition
+        nodes = build_nodes(
+            resolved_mentions, doc_index, resolved_triples, exclude_doc_scoped=True
+        ).unionByName(build_hadith_nodes_turn_local(extracted))
+    else:
+        nodes = build_nodes(resolved_mentions, doc_index, resolved_triples)
+    if work_dir or not unique_turns:
+        # parquet round-trip (an input split can start mid-turn) or
+        # arbitrary caller input: turn contiguity is not guaranteed ->
+        # global groupBy merge
+        edges = build_edges(resolved_triples)
+    else:
+        # triples come straight from the exploded annotate output with
+        # the resolution broadcast-joined in, so every turn's rows are
+        # contiguous within one partition -> turn-local shuffle-free merge
+        edges = build_edges_turn_local(resolved_triples)
 
     if work_dir:
         for name, df in (("nodes", nodes), ("edges", edges)):

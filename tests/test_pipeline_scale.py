@@ -52,6 +52,86 @@ def test_determinism_across_partitionings(spark) -> None:
     assert node_set(r1) == node_set(r16)
 
 
+def test_turn_local_edge_merge_matches_global(spark) -> None:
+    """The shuffle-free per-turn edge merge (pipeline path) must produce
+    exactly the global groupBy MERGE result, including merge_count for
+    within-turn duplicate edge keys."""
+    from islamic_ner_spark.operators.graph import build_edges, build_edges_turn_local
+
+    transcripts = synthetic_transcripts(spark, 40, turns_per_conv=4, partitions=3)
+    result = build_graph(spark, transcripts)
+    resolved = result.resolved_triples
+
+    cols = [
+        "pred", "src_label", "src_key", "tgt_label", "tgt_key",
+        "source_hadith", "confidence", "evidence", "merge_count",
+    ]
+    local_rows = sorted(tuple(r) for r in build_edges_turn_local(resolved).select(cols).collect())
+    global_rows = sorted(tuple(r) for r in build_edges(resolved).select(cols).collect())
+    assert local_rows == global_rows
+    assert len(local_rows) > 0
+
+
+def test_split_node_build_matches_global(spark) -> None:
+    """Pipeline node table (vocab global agg + turn-local Hadith nodes)
+    must equal the single global groupBy strategy."""
+    from islamic_ner_spark.operators.graph import build_nodes
+
+    transcripts = synthetic_transcripts(spark, 40, turns_per_conv=4, partitions=3)
+    result = build_graph(spark, transcripts)
+
+    doc_index = result.annotated.select("conv_id", "turn_idx", "doc_id")
+    global_nodes = build_nodes(result.resolved_mentions, doc_index, result.resolved_triples)
+
+    def rows(df):
+        return sorted(
+            (r["label"], r["key"], r["name_ar"], r["confidence"],
+             tuple(r["variants"]), r["mention_count"], r["book_ref"], r["chapter"])
+            for r in df.collect()
+        )
+
+    assert rows(result.nodes) == rows(global_nodes)
+    assert any(r[0] == "Hadith" for r in rows(result.nodes))
+    assert any(r[0] == "Scholar" for r in rows(result.nodes))
+
+
+def test_turn_local_edge_merge_duplicates_first_writer_wins(spark) -> None:
+    """Within-turn duplicate edge keys: first writer (lowest rel_idx) fixes
+    confidence/evidence, merge_count counts all writers — matching the
+    global groupBy strategy exactly (in-batch first-wins, builder.py:99-123)."""
+    from islamic_ner_spark.operators.graph import build_edges, build_edges_turn_local
+
+    schema = (
+        "doc_id string, conv_id string, turn_idx int, rel_idx int, pred string, "
+        "subj_text string, subj_type string, obj_text string, obj_type string, "
+        "subj_canonical string, obj_canonical string, source_hadith string, "
+        "confidence double, evidence string"
+    )
+    rows = [
+        # turn c:0 — same edge key twice (different spans/evidence), one other
+        ("c:0", "c", 0, 0, "MENTIONS_CONCEPT", "h", "HADITH_REF", "x", "CONCEPT",
+         "c:0", "X", "c:0", 0.6, "first-ev"),
+        ("c:0", "c", 0, 1, "NARRATED_FROM", "a", "SCHOLAR", "b", "SCHOLAR",
+         "A", "B", "c:0", 0.9, "chain"),
+        ("c:0", "c", 0, 2, "MENTIONS_CONCEPT", "h", "HADITH_REF", "x2", "CONCEPT",
+         "c:0", "X", "c:0", 0.6, "second-ev"),
+        # turn c:1 — same canonicals as c:0 but different source_hadith: no merge
+        ("c:1", "c", 1, 0, "MENTIONS_CONCEPT", "h", "HADITH_REF", "x", "CONCEPT",
+         "c:1", "X", "c:1", 0.6, "other-turn"),
+    ]
+    resolved = spark.createDataFrame(rows, schema).coalesce(1)
+    cols = [
+        "pred", "src_label", "src_key", "tgt_label", "tgt_key",
+        "source_hadith", "confidence", "evidence", "merge_count",
+    ]
+    local = sorted(tuple(r) for r in build_edges_turn_local(resolved).select(cols).collect())
+    glob = sorted(tuple(r) for r in build_edges(resolved).select(cols).collect())
+    assert local == glob
+    merged = [r for r in local if r[-1] == 2]
+    assert len(merged) == 1 and merged[0][7] == "first-ev" and merged[0][5] == "c:0"
+    assert len(local) == 3
+
+
 def test_per_turn_text_equality_invariant(spark) -> None:
     """Per-turn normalized text equality under stable (conv_id, turn_idx)
     ordering — the input_hint's per-row invariant."""
