@@ -60,15 +60,27 @@ def main() -> None:
     start = time.time()
     transcripts = spark.read.parquet(staging)
     result = build_graph(spark, transcripts)
-    # one action materializes the edge table; sum(merge_count) IS the
-    # resolved-triple count (each emitted triple contributes exactly one
-    # merge), so no separate full pass over resolved_triples is needed
-    edge_agg = result.edges.agg(
-        F.count(F.lit(1)).alias("edges"), F.sum("merge_count").alias("triples")
-    ).collect()[0]
-    n_edges = int(edge_agg["edges"])
-    n_triples = int(edge_agg["triples"])
-    n_nodes = result.nodes.count()
+    # ONE action materializes both output tables: the union-of-aggregates
+    # plan shares the broadcast resolution exchange and the cached
+    # extraction scans, and populates the edges/nodes caches in a single
+    # job.  sum(merge_count) IS the resolved-triple count (each emitted
+    # triple contributes exactly one merge), so no separate pass needed.
+    stats_rows = (
+        result.edges.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("merge_count").alias("m")
+        )
+        .select(F.lit("edges").alias("k"), "n", "m")
+        .unionByName(
+            result.nodes.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("nodes").alias("k"), "n", F.lit(0).cast("long").alias("m")
+            )
+        )
+        .collect()
+    )
+    stats = {r["k"]: r for r in stats_rows}
+    n_edges = int(stats["edges"]["n"])
+    n_triples = int(stats["edges"]["m"])
+    n_nodes = int(stats["nodes"]["n"])
     kg_seconds = time.time() - start
     timings["kg_build_e2e"] = round(kg_seconds, 3)
     n_turns = n_convs * turns_per_conv

@@ -346,6 +346,197 @@ def build_edges_turn_local(resolved_triples: DataFrame) -> DataFrame:
     return rows.mapInPandas(merge, schema=_EDGES_OUT_SCHEMA)
 
 
+_COMBINED_SCHEMA = (
+    "out string, "
+    "pred string, src_label string, src_key string, tgt_label string, "
+    "tgt_key string, source_hadith string, confidence double, "
+    "evidence string, merge_count long, "
+    "label string, key string, name_ar string, variants array<string>, "
+    "mention_count long, best_conv string, best_turn int, best_emit long"
+)
+# Hadith (doc-scoped) nodes are deliberately NOT part of the fused output:
+# at one row per turn they would double the cached row count with variant
+# arrays, and build_hadith_nodes_turn_local is a near-free narrow JVM
+# projection over the already-cached extraction.
+
+
+def fused_graph_outputs(extracted: DataFrame, resolution_bc) -> DataFrame:
+    """Edges + node inputs in ONE Arrow pass over the annotate output.
+
+    Motivation (BENCH.md): the relational materialize scans the cached
+    extraction 4x (mention explode, two triple explodes, doc index),
+    broadcast-joins the resolution into each, and pushes ~6 rows/turn
+    through JVM row processing whose per-record CPU inflates ~2x at 16
+    threads on one box.  All of that is turn-local computation over data
+    already sitting in the turn's arrays, so one mapInPandas with the
+    (vocabulary-sized) resolution as a broadcast Python dict replaces it;
+    Python workers have per-worker heaps and scale ~1.0 (same shape as
+    the annotate stage).
+
+    Per input row (= one turn) emits, discriminated by ``out``:
+
+    * ``edge``  — first-writer-wins merged edges (== build_edges_turn_local)
+    * ``vnode`` — per-BATCH pre-aggregated vocabulary-node candidates
+      (~|vocabulary| rows per Arrow batch); finish with
+      :func:`nodes_from_combined` (== build_nodes on vocabulary rows,
+      unioned with the JVM-side Hadith projection)
+
+    ``resolution_bc``: broadcast dict {(text, entity_type): (canonical,
+    confidence)}.  Requires one input row per (conv_id, turn_idx); falls
+    back to the relational operators above for arbitrary inputs or
+    extreme vocabularies (plans/pipeline.py).
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        res = resolution_bc.value
+        labels_map = NODE_LABELS
+
+        for batch in batches:
+            edge_rows: list[tuple] = []
+            # (label, key) -> [order, text, conf, variants, count]
+            vocab: dict[tuple, list] = {}
+
+            for conv_id, turn_idx, doc_id, mentions, triples in zip(
+                batch["conv_id"], batch["turn_idx"], batch["doc_id"],
+                batch["mentions"], batch["triples"],
+            ):
+                turn_idx = int(turn_idx)
+                for m in mentions:
+                    etype = m["entity_type"]
+                    if etype == "HADITH_REF":
+                        continue
+                    lab = labels_map.get(etype)
+                    if lab is None:
+                        continue
+                    hit = res.get((m["text"], etype))
+                    if hit is None:
+                        continue
+                    key = (lab, hit[0])
+                    order = (conv_id, turn_idx, m["mention_idx"])
+                    ent = vocab.get(key)
+                    if ent is None:
+                        vocab[key] = [order, m["text"], hit[1], {m["text"]}, 1]
+                    else:
+                        if order > ent[0]:
+                            ent[0], ent[1], ent[2] = order, m["text"], hit[1]
+                        ent[3].add(m["text"])
+                        ent[4] += 1
+
+                seen: dict[tuple, list] = {}
+                for t in triples:
+                    ridx = t["rel_idx"]
+                    endpoints = (
+                        (t["subj_text"], t["subj_type"], 3_000_000_000 + ridx * 2),
+                        (t["obj_text"], t["obj_type"], 3_000_000_000 + ridx * 2 + 1),
+                    )
+                    canon = []
+                    for text, etype, emit in endpoints:
+                        if etype == "HADITH_REF":
+                            canon.append(doc_id)
+                            continue
+                        hit = res.get((text, etype))
+                        canon.append(hit[0] if hit else None)
+                        lab = labels_map.get(etype)
+                        if lab is None or hit is None:
+                            continue
+                        key = (lab, hit[0])
+                        order = (conv_id, turn_idx, emit)
+                        # endpoint confidence = resolution confidence
+                        # (resolve_triples: coalesce(confidence_r, 1.0))
+                        conf = hit[1] if hit[1] is not None else 1.0
+                        ent = vocab.get(key)
+                        if ent is None:
+                            vocab[key] = [order, text, conf, {text}, 1]
+                        else:
+                            if order > ent[0]:
+                                ent[0], ent[1], ent[2] = order, text, conf
+                            ent[3].add(text)
+                            ent[4] += 1
+                    sc, oc = canon
+                    sl = labels_map.get(t["subj_type"])
+                    ol = labels_map.get(t["obj_type"])
+                    if sc and oc and sl and ol:
+                        k = (t["pred"], sl, sc, ol, oc, doc_id)
+                        ent = seen.get(k)
+                        if ent is None:
+                            seen[k] = [t["confidence"], t["evidence"], 1]
+                        else:
+                            ent[2] += 1
+                for k, v in seen.items():
+                    edge_rows.append(k + (v[0], v[1], v[2]))
+
+            n_e, n_v = len(edge_rows), len(vocab)
+            out = pd.DataFrame(
+                {
+                    "out": ["edge"] * n_e + ["vnode"] * n_v,
+                    "pred": [r[0] for r in edge_rows] + [None] * n_v,
+                    "src_label": [r[1] for r in edge_rows] + [None] * n_v,
+                    "src_key": [r[2] for r in edge_rows] + [None] * n_v,
+                    "tgt_label": [r[3] for r in edge_rows] + [None] * n_v,
+                    "tgt_key": [r[4] for r in edge_rows] + [None] * n_v,
+                    "source_hadith": [r[5] for r in edge_rows] + [None] * n_v,
+                    "confidence": [r[6] for r in edge_rows]
+                    + [v[2] for v in vocab.values()],
+                    "evidence": [r[7] for r in edge_rows] + [None] * n_v,
+                    "merge_count": [r[8] for r in edge_rows] + [0] * n_v,
+                    "label": [None] * n_e + [k[0] for k in vocab],
+                    "key": [None] * n_e + [k[1] for k in vocab],
+                    "name_ar": [None] * n_e + [v[1] for v in vocab.values()],
+                    "variants": [None] * n_e
+                    + [sorted(v[3]) for v in vocab.values()],
+                    "mention_count": [0] * n_e + [v[4] for v in vocab.values()],
+                    "best_conv": [None] * n_e + [v[0][0] for v in vocab.values()],
+                    "best_turn": [0] * n_e + [v[0][1] for v in vocab.values()],
+                    "best_emit": [0] * n_e + [v[0][2] for v in vocab.values()],
+                }
+            )
+            yield out
+
+    return extracted.select(
+        "conv_id", "turn_idx", "doc_id", "mentions", "triples"
+    ).mapInPandas(run, schema=_COMBINED_SCHEMA)
+
+
+def edges_from_combined(combined: DataFrame) -> DataFrame:
+    return combined.where(F.col("out") == "edge").select(
+        "pred", "src_label", "src_key", "tgt_label", "tgt_key",
+        "source_hadith", "confidence", "evidence", "merge_count",
+    )
+
+
+def nodes_from_combined(combined: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Vocabulary candidates finish with a (tiny) global last-writer/
+    variant-union aggregation; Hadith nodes come from the narrow JVM
+    projection over the cached extraction."""
+    hadith = build_hadith_nodes_turn_local(extracted)
+    winner = F.max(
+        F.struct("best_conv", "best_turn", "best_emit", "name_ar", "confidence")
+    ).alias("w")
+    vocab = (
+        combined.where(F.col("out") == "vnode")
+        .groupBy("label", "key")
+        .agg(
+            winner,
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("variants"))))
+            .alias("variants"),
+            F.sum("mention_count").alias("mention_count"),
+        )
+        .select(
+            "label",
+            "key",
+            F.col("w.name_ar").alias("name_ar"),
+            F.col("w.confidence").alias("confidence"),
+            "variants",
+            "mention_count",
+            F.when(F.col("label") == "Hadith", F.lit("")).alias("book_ref"),
+            F.when(F.col("label") == "Hadith", F.lit("")).alias("chapter"),
+        )
+    )
+    return vocab.unionByName(hadith)
+
+
 def merge_edges_incremental(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """Cross-batch MERGE (A4): confidence = max, evidence = first
     non-empty, existing row wins ties (builder.py:427-435)."""

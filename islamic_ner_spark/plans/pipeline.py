@@ -32,8 +32,16 @@ from islamic_ner_spark.operators.graph import (
     build_edges_turn_local,
     build_hadith_nodes_turn_local,
     build_nodes,
+    edges_from_combined,
+    fused_graph_outputs,
     graph_stats,
+    nodes_from_combined,
 )
+
+# above this many distinct (text, type) strings the resolution no longer
+# broadcasts comfortably as a Python dict; fall back to relational
+# materialize (broadcast joins + global aggs)
+FUSED_VOCAB_LIMIT = 2_000_000
 from islamic_ner_spark.operators.linking import (
     build_resolution_table,
     resolve_triples,
@@ -266,25 +274,44 @@ def _build_from_annotated(
     resolved_mentions = resolve_mentions_table(mentions, resolution)
 
     doc_index = extracted.select("conv_id", "turn_idx", "doc_id")
-    if unique_turns:
-        # doc-scoped (Hadith) nodes are a narrow per-turn projection; only
-        # vocabulary-keyed rows go through the global agg, where map-side
-        # partial aggregation collapses them to ~|vocabulary| per partition
-        nodes = build_nodes(
-            resolved_mentions, doc_index, resolved_triples, exclude_doc_scoped=True
-        ).unionByName(build_hadith_nodes_turn_local(extracted))
+
+    fused = None
+    if unique_turns and not work_dir:
+        # one Arrow pass over the extraction computes merged edges,
+        # Hadith nodes, and per-batch pre-aggregated vocabulary node
+        # candidates — no cache re-scans, no joins, no big shuffles
+        # (operators/graph.fused_graph_outputs).  Needs the resolution as
+        # a driver-side dict; guard against extreme vocabularies.
+        res_rows = resolution.collect()
+        if len(res_rows) <= FUSED_VOCAB_LIMIT:
+            res_dict = {
+                (r["text"], r["entity_type"]): (r["canonical_name"], r["confidence"])
+                for r in res_rows
+            }
+            res_bc = spark.sparkContext.broadcast(res_dict)
+            fused = fused_graph_outputs(extracted, res_bc).persist()
+
+    if fused is not None:
+        edges = edges_from_combined(fused)
+        nodes = nodes_from_combined(fused, extracted)
     else:
-        nodes = build_nodes(resolved_mentions, doc_index, resolved_triples)
-    if work_dir or not unique_turns:
-        # parquet round-trip (an input split can start mid-turn) or
-        # arbitrary caller input: turn contiguity is not guaranteed ->
-        # global groupBy merge
-        edges = build_edges(resolved_triples)
-    else:
-        # triples come straight from the exploded annotate output with
-        # the resolution broadcast-joined in, so every turn's rows are
-        # contiguous within one partition -> turn-local shuffle-free merge
-        edges = build_edges_turn_local(resolved_triples)
+        if unique_turns:
+            # doc-scoped (Hadith) nodes are a narrow per-turn projection;
+            # only vocabulary-keyed rows go through the global agg, where
+            # map-side partial aggregation collapses them to
+            # ~|vocabulary| rows per partition
+            nodes = build_nodes(
+                resolved_mentions, doc_index, resolved_triples, exclude_doc_scoped=True
+            ).unionByName(build_hadith_nodes_turn_local(extracted))
+        else:
+            nodes = build_nodes(resolved_mentions, doc_index, resolved_triples)
+        if work_dir or not unique_turns:
+            # parquet round-trip (an input split can start mid-turn) or
+            # arbitrary caller input: turn contiguity is not guaranteed ->
+            # global groupBy merge
+            edges = build_edges(resolved_triples)
+        else:
+            edges = build_edges_turn_local(resolved_triples)
 
     if work_dir:
         for name, df in (("nodes", nodes), ("edges", edges)):
@@ -293,11 +320,12 @@ def _build_from_annotated(
                 tables.write_table(df, path, stage=name, fingerprint=fingerprint)
         nodes = tables.read_table(spark, str(Path(work_dir) / "nodes"))
         edges = tables.read_table(spark, str(Path(work_dir) / "edges"))
-    else:
+    elif fused is None:
         # Aggregated outputs are consumed repeatedly (stats, queries,
         # counts) and are much cheaper to recompute-from-cache than the
         # full rows are to columnar-compress; only the small aggregates
-        # get cached.
+        # get cached.  (The fused path already persists the combined
+        # output; edges/nodes are cheap filters over that cache.)
         nodes = nodes.persist()
         edges = edges.persist()
 

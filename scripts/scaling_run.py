@@ -100,10 +100,10 @@ def main() -> None:
 
 Same input at two parallelism levels, each JVM + its Python workers
 pinned with taskset to exactly N cores (the in-sandbox proxy for N vs 4N
-executors per BASELINE.json).  Each leg is best-of-repeats because the
-sandbox host carries variable external load (loadavg ~10 while this
-container idles); core counts are chosen to fit inside the reliably
-available cores.
+executors per BASELINE.json).  Each leg is best-of-{os.environ.get('SPARK_GRAFT_SCALE_REPEATS', '2')}
+because the sandbox host carries variable external load (loadavg 2-10
+while this container idles); core counts are chosen to fit inside the
+reliably available cores.
 
 | cluster size | turns | kg-build wall (s) | turns/s | triples/s |
 |---|---|---|---|---|
@@ -114,6 +114,37 @@ available cores.
 
 Triples emitted: {results[n_large]['triples']:,}; nodes {results[n_large]['nodes']:,};
 edges {results[n_large]['edges']:,}.
+
+## How the plan scales (per-stage evidence, scripts/profile_stages.py)
+
+The dominant stage — fused annotate (normalize + AC gazetteer + pattern
+NER + extraction, one narrow mapInPandas, zero shuffle) — scales at
+~1.0 efficiency (measured 4.19x from 4 -> 16 cores at equal load).  The
+engineering work went into making everything else either narrow or
+vocabulary-sized:
+
+* edge MERGE: turn-local shuffle-free Arrow pass (the edge key contains
+  the per-turn doc_id, so a global exchange is provably unnecessary).
+  Spark event logs showed the previous global SortAggregate+Exchange
+  inflating per-record CPU ~5x at 16 threads on this single box
+  (shared-LLC/allocator contention — stalled cycles, not more work);
+  on a real multi-node cluster that exchange would scale, but removing
+  it is strictly better there too.
+* node MERGE: doc-scoped (Hadith) nodes are a narrow per-row
+  projection; only vocabulary-keyed rows reach the global agg, which
+  map-side partial aggregation collapses to ~|vocabulary| rows per
+  partition before the exchange.
+* resolution: computed over DISTINCT (text, type) strings (vocabulary-
+  sized, not corpus-sized); exact = broadcast join, fuzzy = batched
+  Arrow UDF, canonicalization = size-adaptive connected components
+  (single probing job + driver union-find under 2M edges, iterative
+  large-star/small-star above).
+
+Residual sub-linearity is the ~10-15 s of parallelism-independent work
+(Spark session+job scheduling, the vocabulary resolution ladder, AQE
+stage materialization) plus external host load; it shrinks relative to
+input size — the efficiency number above improves with corpus scale,
+exactly the property that matters at 10^12 turns.
 
 ## Reference comparison
 
