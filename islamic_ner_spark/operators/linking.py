@@ -1,4 +1,4 @@
-"""Entity linking: exact broadcast join -> blocked fuzzy -> joint
+"""Entity linking: exact + fuzzy vs the broadcast gazetteer -> joint
 canonicalization of the remainder.
 
 Scale shape (the whole point of this design):
@@ -6,10 +6,10 @@ Scale shape (the whole point of this design):
 * Resolution is computed over **distinct** (text, type) strings, never per
   mention row — at 10^12 turns the distinct mention vocabulary is orders
   of magnitude smaller than the mention table.
-* L1 exact linking is a **broadcast hash join** against the gazetteer
-  dimension (entity_resolver.py:26-43).
-* L2 fuzzy scoring runs in a **batched pandas UDF** against the broadcast
-  gazetteer (candidate generation = same-type, the reference's semantics;
+* L1 exact linking is a **broadcast hash lookup** against the gazetteer
+  dimension (the map-side half of a broadcast hash join,
+  entity_resolver.py:26-43), fused into the same batched Arrow pass as
+* L2 fuzzy scoring (SequenceMatcher vs same-type canonicals+variants;
   entity_resolver.py:70-100).
 * L3' "new" entities are clustered **jointly**: blocking by shared token,
   pairwise SequenceMatcher ratio >= 0.8 scored in an Arrow batch, then
@@ -57,49 +57,6 @@ def _distinct_linkable_strings(mentions: DataFrame, triples: DataFrame) -> DataF
     return from_mentions.union(subj).union(obj).distinct()
 
 
-def _with_norm_text(distinct_strings: DataFrame, gazetteer_bc: Broadcast) -> DataFrame:
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from islamic_ner_spark.functions.normalize import normalize
-
-        for batch in batches:
-            batch = batch.copy()
-            batch["norm_text"] = [normalize(t or "") for t in batch["text"]]
-            yield batch
-
-    return distinct_strings.mapInPandas(
-        run, schema="text string, entity_type string, norm_text string"
-    )
-
-
-def _fuzzy_resolve(unmatched: DataFrame, gazetteer_bc: Broadcast) -> DataFrame:
-    """Batched fuzzy scoring vs same-type gazetteer canonicals+variants."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from islamic_ner_spark.functions.resolve import best_fuzzy_candidate
-
-        gazetteer = gazetteer_bc.value
-        for batch in batches:
-            batch = batch.copy()
-            canon, conf = [], []
-            for norm_text, entity_type in zip(batch["norm_text"], batch["entity_type"]):
-                hit = best_fuzzy_candidate(norm_text, entity_type, gazetteer)
-                if hit is None:
-                    canon.append(None)
-                    conf.append(None)
-                else:
-                    canon.append(hit[0])
-                    conf.append(round(hit[1], 4))
-            batch["fuzzy_canonical"] = canon
-            batch["fuzzy_confidence"] = conf
-            yield batch
-
-    return unmatched.mapInPandas(
-        run,
-        schema=(
-            "text string, entity_type string, norm_text string, "
-            "fuzzy_canonical string, fuzzy_confidence double"
-        ),
-    )
 
 
 def _canonicalize_new(spark: SparkSession, new_strings: DataFrame) -> DataFrame:
@@ -181,48 +138,52 @@ def build_resolution_table(
     """Distinct (text, entity_type) -> (canonical_name, confidence,
     match_type) via the exact -> fuzzy -> new ladder.
 
-    The distinct-string table is persisted: it is consumed by three
-    branches (exact hit/miss, fuzzy hit/miss, new) and is tiny relative to
-    the mention table, so recomputing the upstream distinct shuffle three
-    times would triple the stage cost for nothing."""
-    strings = _with_norm_text(
-        _distinct_linkable_strings(mentions, triples), gazetteer_bc
-    ).persist()
+    The exact and fuzzy rungs both score against the *broadcast* gazetteer
+    dimension and are independent per string, so they run fused in ONE
+    batched Arrow pass over the distinct strings (exact = broadcast hash
+    lookup, the map-side half of a broadcast hash join; fuzzy = the
+    reference's SequenceMatcher scoring, entity_resolver.py:26-100).  The
+    earlier staging of this ladder as join -> UDF -> unions spent ~3
+    extra stage/persist round-trips per build on vocabulary-sized data.
+    Only the "new" remainder needs corpus-joint work (blocking +
+    connected components).  ``gazetteer_df`` is kept in the signature for
+    callers that want the dimension relationally (tests, ad-hoc joins).
+    """
+    strings = _distinct_linkable_strings(mentions, triples)
 
-    exact = strings.join(
-        F.broadcast(gazetteer_df),
-        on=[
-            strings["norm_text"] == gazetteer_df["variant_norm"],
-            strings["entity_type"] == gazetteer_df["entity_type"],
-        ],
-        how="left",
-    ).select(
-        strings["text"],
-        strings["entity_type"],
-        strings["norm_text"],
-        gazetteer_df["canonical_norm"].alias("exact_canonical"),
-    )
+    def ladder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from islamic_ner_spark.functions.normalize import normalize
+        from islamic_ner_spark.functions.resolve import best_fuzzy_candidate
 
-    exact_hits = exact.where(F.col("exact_canonical").isNotNull()).select(
-        "text", "entity_type", "norm_text",
-        F.col("exact_canonical").alias("canonical_name"),
-        F.lit(1.0).alias("confidence"),
-        F.lit("exact").alias("match_type"),
-    )
+        gazetteer = gazetteer_bc.value
+        for batch in batches:
+            norm_l, canon_l, conf_l, mt_l = [], [], [], []
+            for text, etype in zip(batch["text"], batch["entity_type"]):
+                norm = normalize(text or "")
+                canonical = gazetteer.canonical_map.get((norm, etype))
+                if canonical is not None:
+                    canon, conf, mt = canonical, 1.0, "exact"
+                else:
+                    fuzzy = best_fuzzy_candidate(norm, etype, gazetteer)
+                    if fuzzy is not None:
+                        canon, conf, mt = fuzzy[0], round(fuzzy[1], 4), "fuzzy"
+                    else:
+                        canon, conf, mt = None, 0.5, "new"
+                norm_l.append(norm)
+                canon_l.append(canon)
+                conf_l.append(conf)
+                mt_l.append(mt)
+            out = batch[["text", "entity_type"]].copy()
+            out["norm_text"] = norm_l
+            out["canonical_name"] = canon_l
+            out["confidence"] = conf_l
+            out["match_type"] = mt_l
+            yield out
 
-    missed = exact.where(F.col("exact_canonical").isNull()).select(
-        "text", "entity_type", "norm_text"
-    )
-    fuzzy = _fuzzy_resolve(missed, gazetteer_bc).persist()
+    scored = strings.mapInPandas(ladder, schema=RESOLUTION_SCHEMA).persist()
 
-    fuzzy_hits = fuzzy.where(F.col("fuzzy_canonical").isNotNull()).select(
-        "text", "entity_type", "norm_text",
-        F.col("fuzzy_canonical").alias("canonical_name"),
-        F.col("fuzzy_confidence").alias("confidence"),
-        F.lit("fuzzy").alias("match_type"),
-    )
-
-    new_strings = fuzzy.where(F.col("fuzzy_canonical").isNull()).select(
+    resolved = scored.where(F.col("match_type") != "new")
+    new_strings = scored.where(F.col("match_type") == "new").select(
         "text", "entity_type", "norm_text"
     )
     new_canon = _canonicalize_new(spark, new_strings)
@@ -233,7 +194,7 @@ def build_resolution_table(
         F.lit("new").alias("match_type"),
     )
 
-    return exact_hits.unionByName(fuzzy_hits).unionByName(new_hits)
+    return resolved.unionByName(new_hits)
 
 
 def resolve_triples(

@@ -61,24 +61,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     results = {}
-    for cpus in (n_small, n_large):
-        best = None
-        for attempt in range(repeats):
+    # legs alternate (N, 4N, N, 4N, ...) so the host's oscillating
+    # external load (period ~minutes) hits both cluster sizes fairly;
+    # best-of-N per leg then picks each side's least-contaminated window
+    for attempt in range(repeats):
+        for cpus in (n_small, n_large):
             started = time.time()
+            loadavg = open("/proc/loadavg").read().split()[0]
             run = run_bench(cpus, convs_per_doc, turns, sf_dir)
             print(
                 f"local[{cpus}] run {attempt + 1}/{repeats}: "
                 f"kg_build={run['queries']['kg_build_e2e']}s "
                 f"turns/s={run['turns_per_sec']} "
                 f"triples/s={run['triples_per_sec']} "
-                f"(wall {time.time()-started:.0f}s)"
+                f"(wall {time.time()-started:.0f}s, loadavg {loadavg} at start)",
+                flush=True,
             )
-            # best-of-N: the sandbox host carries variable external load
-            # (loadavg ~10 with this container idle), so min wall time is
-            # the least-contaminated estimate of the engine's throughput
+            best = results.get(cpus)
             if best is None or run["queries"]["kg_build_e2e"] < best["queries"]["kg_build_e2e"]:
-                best = run
-        results[cpus] = best
+                results[cpus] = run
 
     tp8 = results[n_small]["triples_per_sec"]
     tp32 = results[n_large]["triples_per_sec"]
