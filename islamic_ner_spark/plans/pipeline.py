@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
@@ -115,43 +116,90 @@ def _annotate_resumable(
     work_dir: str,
     fingerprint: str,
     n_buckets: int,
+    n_waves: int = 4,
 ) -> DataFrame:
-    """Bucketed, partition-resumable annotate stage."""
+    """Bucketed, partition-resumable annotate stage.
+
+    Buckets are committed in ``n_waves`` independent append jobs, each
+    followed by an incremental manifest update — so a killed job leaves a
+    manifest recording exactly the committed buckets, and the re-run
+    annotates only the missing ones.  More waves = finer resume
+    granularity but one extra input scan per wave (the bucket predicate
+    is a hash of conv_id and cannot prune the source); 4 is a reasonable
+    default, pass 1 for single-commit all-or-nothing.
+    """
     path = str(Path(work_dir) / "annotated")
     bucket_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
-    if tables.table_is_current(path, fingerprint):
+    manifest = tables.read_manifest(path)
+    if manifest and manifest.get("fingerprint") == fingerprint and manifest.get("complete"):
         return tables.read_table(spark, path).drop("bucket")
 
-    done = tables.completed_buckets(path) if tables.read_manifest(path) else set()
-    if done:
-        # resume: only annotate the missing buckets, append, re-manifest.
-        # bucket is a pure function of conv_id, so it is recomputed after
-        # the (narrow) annotate pass — no join required.
-        pending = transcripts.where(~bucket_col.cast("string").isin(list(done)))
-        annotated_new = annotate_transcripts(pending, gazetteer_bc).withColumn(
-            "bucket", bucket_col
-        )
-        annotated_new.write.mode("append").partitionBy("bucket").parquet(path)
-        written = spark.read.parquet(path)
-        per_partition = {
-            str(r["bucket"]): r["rows"]
-            for r in written.groupBy("bucket").agg(F.count(F.lit(1)).alias("rows")).collect()
-        }
-        manifest = tables.read_manifest(path) or {}
-        manifest.update(
-            {"fingerprint": fingerprint, "per_partition_rows": per_partition,
-             "rows": written.count(), "resumed": True}
-        )
-        tables.manifest_path(path).write_text(json.dumps(manifest, indent=2))
+    # partial output is only resumable if it was produced for the SAME
+    # input/gazetteer fingerprint; otherwise it is stale and must be
+    # rebuilt from scratch (e.g. same work_dir pointed at a new input)
+    if manifest and manifest.get("fingerprint") == fingerprint:
+        done = tables.completed_buckets(path)
+        resumed = True
     else:
-        annotated = annotate_transcripts(transcripts, gazetteer_bc).withColumn(
-            "bucket", bucket_col
-        )
-        tables.write_table(
-            annotated, path, stage="annotate", fingerprint=fingerprint,
-            partition_by=["bucket"],
-        )
+        done = set()
+        resumed = False
+        if Path(path).exists():
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+
+    per_partition: dict[str, int] = (
+        dict((manifest or {}).get("per_partition_rows") or {}) if done else {}
+    )
+    started = time.time()
+    wave_of = {b: b % n_waves for b in range(n_buckets)}
+    pending_waves = sorted(
+        {wave_of[b] for b in range(n_buckets) if str(b) not in done}
+    )
+    for wave in pending_waves:
+        wave_buckets = [
+            b for b in range(n_buckets)
+            if wave_of[b] == wave and str(b) not in done
+        ]
+        # bucket is a pure function of conv_id, so the wave predicate
+        # applies to the RAW transcripts — the expensive annotate UDF
+        # only ever runs on each wave's rows, never on the full input
+        chunk = annotate_transcripts(
+            transcripts.where(bucket_col.isin(wave_buckets)), gazetteer_bc
+        ).withColumn("bucket", bucket_col)
+        chunk.write.mode("append").partitionBy("bucket").parquet(path)
+        # count committed rows per bucket from the files just written —
+        # the manifest update is the checkpoint barrier for this wave
+        wave_counts = {
+            str(r["bucket"]): r["rows"]
+            for r in spark.read.parquet(path)
+            .where(F.col("bucket").isin(wave_buckets))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("rows")).collect()
+        }
+        for b in wave_buckets:
+            wave_counts.setdefault(str(b), 0)
+        per_partition.update(wave_counts)
+        tables.manifest_path(path).write_text(json.dumps({
+            "stage": "annotate",
+            "fingerprint": fingerprint,
+            "per_partition_rows": per_partition,
+            "rows": sum(per_partition.values()),
+            "complete": len(per_partition) >= n_buckets,
+            "resumed": resumed,
+            "duration_s": round(time.time() - started, 3),
+        }, indent=2))
+    if not pending_waves:
+        # all buckets were already committed; finalize the manifest
+        tables.manifest_path(path).write_text(json.dumps({
+            "stage": "annotate",
+            "fingerprint": fingerprint,
+            "per_partition_rows": per_partition,
+            "rows": sum(per_partition.values()),
+            "complete": True,
+            "resumed": resumed,
+            "duration_s": round(time.time() - started, 3),
+        }, indent=2))
     return tables.read_table(spark, path).drop("bucket")
 
 
@@ -194,6 +242,7 @@ def build_graph(
     gazetteer_dir: str = DEFAULT_GAZETTEER_DIR,
     work_dir: Optional[str] = None,
     n_buckets: int = 64,
+    input_token: str = "",
 ) -> GraphBuildResult:
     """Run the full KG-construction dataflow.
 
@@ -208,7 +257,11 @@ def build_graph(
     """
     gazetteer = gazetteer or Gazetteer.from_dir(gazetteer_dir)
     gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
-    fingerprint = _fingerprint("v1", gazetteer_dir, sorted(gazetteer.lookup)[:50])
+    # input_token folds the input identity (path, row caps) into stage
+    # fingerprints so a work_dir is never silently reused across inputs
+    fingerprint = _fingerprint(
+        "v1", gazetteer_dir, sorted(gazetteer.lookup)[:50], input_token
+    )
 
     if work_dir:
         annotated = _annotate_resumable(

@@ -164,13 +164,14 @@ def test_workdir_checkpoint_and_resume(spark, tmp_path) -> None:
     r1 = build_graph(spark, transcripts, work_dir=work, n_buckets=4)
     edges_1 = sorted(map(tuple, r1.edges.select("pred", "src_key", "tgt_key", "source_hadith").collect()))
 
-    # simulate a killed job: drop some annotate buckets from the manifest
+    # simulate a killed job: the wave-commit protocol leaves a manifest
+    # with the CURRENT fingerprint, a subset of buckets, complete=False
     annotated_path = tmp_path / "work" / "annotated"
     manifest = json.loads((annotated_path / "_manifest.json").read_text())
     full_buckets = dict(manifest["per_partition_rows"])
     kept = dict(list(full_buckets.items())[:2])
     manifest["per_partition_rows"] = kept
-    manifest["fingerprint"] = "stale"
+    manifest["complete"] = False
     (annotated_path / "_manifest.json").write_text(json.dumps(manifest))
     # drop the corresponding parquet bucket dirs
     import shutil
@@ -184,4 +185,21 @@ def test_workdir_checkpoint_and_resume(spark, tmp_path) -> None:
     assert edges_1 == edges_2
     resumed = tables.read_manifest(annotated_path)
     assert resumed["resumed"] is True
+    assert resumed["complete"] is True
     assert set(resumed["per_partition_rows"]) == set(full_buckets)
+
+
+def test_workdir_not_reused_across_inputs(spark, tmp_path) -> None:
+    """A work_dir pointed at a DIFFERENT input (different fingerprint via
+    input_token) must rebuild, never resume stale buckets."""
+    work = str(tmp_path / "work")
+    t_a = synthetic_transcripts(spark, 12, turns_per_conv=3)
+    t_b = synthetic_transcripts(spark, 6, turns_per_conv=3)
+    build_graph(spark, t_a, work_dir=work, n_buckets=4, input_token="a")
+    r_b = build_graph(spark, t_b, work_dir=work, n_buckets=4, input_token="b")
+    fresh = build_graph(spark, t_b, work_dir=str(tmp_path / "fresh"), n_buckets=4,
+                        input_token="b")
+    rows = lambda r: sorted(  # noqa: E731
+        map(tuple, r.edges.select("pred", "src_key", "tgt_key", "source_hadith").collect())
+    )
+    assert rows(r_b) == rows(fresh)
