@@ -87,9 +87,9 @@ def main() -> None:
 
     # --- headline queries over the built graph ---------------------------
     start = time.time()
-    result.edges.where(F.col("pred") == "NARRATED_FROM").groupBy("src_key").agg(
-        F.countDistinct("source_hadith").alias("n")
-    ).orderBy(F.desc("n")).limit(20).collect()
+    from islamic_ner_spark.operators.queries import top_narrators
+
+    top_narrators(result.edges, k=20).collect()
     timings["kg_top_narrators"] = round(time.time() - start, 3)
 
     start = time.time()

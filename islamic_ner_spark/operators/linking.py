@@ -198,7 +198,11 @@ def build_resolution_table(
 
 
 def resolve_triples(
-    triples: DataFrame, resolution: DataFrame, *, broadcast_resolution: bool = True
+    triples: DataFrame,
+    resolution: DataFrame,
+    *,
+    broadcast_resolution: bool = True,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Attach canonical endpoints to every triple (L5, builder.py:285-323).
 
@@ -210,8 +214,10 @@ def resolve_triples(
     magnitude smaller than the triple table — so it is broadcast by
     default (Catalyst sees a UDF/union plan with unknown stats and would
     otherwise pick a sort-merge join over the full fact table).  Pass
-    ``broadcast_resolution=False`` for extreme vocabularies; AQE's skew
-    join then handles the shuffle.
+    ``broadcast_resolution=False`` for extreme vocabularies; hot narrator
+    keys are Zipf-heavy, so that regime layers ``n_salts`` explicit key
+    salting (operators/skew.salted_join) on top of AQE's runtime
+    skew-join splitting.
     """
     if broadcast_resolution:
         resolution = F.broadcast(resolution)
@@ -230,9 +236,20 @@ def resolve_triples(
         F.col("match_type").alias("obj_match_type_r"),
     )
 
+    if not broadcast_resolution and n_salts > 1:
+        from islamic_ner_spark.operators.skew import salted_join
+
+        joined = salted_join(
+            salted_join(triples, subj_res, ["subj_text", "subj_type"], n_salts=n_salts),
+            obj_res, ["obj_text", "obj_type"], n_salts=n_salts,
+        )
+    else:
+        joined = triples.join(subj_res, ["subj_text", "subj_type"], "left").join(
+            obj_res, ["obj_text", "obj_type"], "left"
+        )
+
     out = (
-        triples.join(subj_res, ["subj_text", "subj_type"], "left")
-        .join(obj_res, ["obj_text", "obj_type"], "left")
+        joined
         .withColumn(
             "subj_canonical",
             F.when(F.col("subj_type") == "HADITH_REF", F.col("doc_id")).otherwise(

@@ -121,6 +121,24 @@ def count_narrated_hadiths(edges: DataFrame, scholar: str) -> int:
     return int(row["n"])
 
 
+def top_narrators(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Scholars ranked by distinct narrated hadiths (the all-scholars
+    generalization of Q6).  Narrator keys are Zipf-hot, so the naive
+    groupBy(src_key).countDistinct would bottleneck one partition per
+    top narrator; the skew-safe rewrite dedupes on (key, hadith) first
+    (operators/skew.py)."""
+    from islamic_ner_spark.operators.skew import count_distinct_skew_safe
+
+    chains = edges.where(
+        (F.col("pred") == "NARRATED_FROM") & (F.col("source_hadith") != "")
+    )
+    return (
+        count_distinct_skew_safe(chains, "src_key", "source_hadith")
+        .orderBy(F.desc("n"), "src_key")
+        .limit(k)
+    )
+
+
 def shortest_path(
     edges: DataFrame, scholar1: str, scholar2: str, max_hops: int = 20
 ) -> List[str]:
