@@ -565,6 +565,45 @@ def merge_edges_incremental(existing: DataFrame, incoming: DataFrame) -> DataFra
     )
 
 
+def merge_nodes_incremental(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Cross-batch node MERGE: ``SET n += props`` semantics — the incoming
+    batch (the later writer) wins properties, ``variants`` accumulates as
+    a sorted set union, ``mention_count`` sums (builder.py:404-408; union
+    semantics tests/test_graph.py:31-44)."""
+    key = ["label", "key"]
+    e = existing.select(
+        *key,
+        F.col("name_ar").alias("old_name"), F.col("confidence").alias("old_conf"),
+        F.col("variants").alias("old_variants"),
+        F.col("mention_count").alias("old_count"),
+        F.col("book_ref").alias("old_book_ref"), F.col("chapter").alias("old_chapter"),
+    )
+    i = incoming.select(
+        *key,
+        F.col("name_ar").alias("new_name"), F.col("confidence").alias("new_conf"),
+        F.col("variants").alias("new_variants"),
+        F.col("mention_count").alias("new_count"),
+        F.col("book_ref").alias("new_book_ref"), F.col("chapter").alias("new_chapter"),
+    )
+    empty_arr = F.array().cast("array<string>")
+    return e.join(i, key, "full_outer").select(
+        *key,
+        F.coalesce("new_name", "old_name").alias("name_ar"),
+        F.coalesce("new_conf", "old_conf").alias("confidence"),
+        F.array_sort(
+            F.array_union(
+                F.coalesce("old_variants", empty_arr),
+                F.coalesce("new_variants", empty_arr),
+            )
+        ).alias("variants"),
+        (
+            F.coalesce("old_count", F.lit(0)) + F.coalesce("new_count", F.lit(0))
+        ).alias("mention_count"),
+        F.coalesce("new_book_ref", "old_book_ref").alias("book_ref"),
+        F.coalesce("new_chapter", "old_chapter").alias("chapter"),
+    )
+
+
 def graph_stats(nodes: DataFrame, edges: DataFrame) -> dict:
     """Counts by node label and edge type + totals (A6, builder.py:244-283)."""
     nodes_by_label = {

@@ -65,9 +65,17 @@ class GraphBuildResult:
     resolved_mentions: DataFrame
     nodes: DataFrame
     edges: DataFrame
+    persisted: list = None  # cached intermediates, released via unpersist()
 
     def stats(self) -> dict:
         return graph_stats(self.nodes, self.edges)
+
+    def unpersist(self) -> None:
+        """Release every intermediate this build cached — required by
+        long-running callers (e.g. the streaming foreachBatch loop) to
+        keep executor storage bounded across many builds."""
+        for df in self.persisted or []:
+            df.unpersist()
 
 
 def _fingerprint(*parts: object) -> str:
@@ -278,10 +286,13 @@ def build_graph(
             "conv_id", "turn_idx", "doc_id", "mentions", "triples"
         ).persist()
 
-    return _build_from_annotated(
+    result = _build_from_annotated(
         spark, annotated, gazetteer, work_dir=work_dir, fingerprint=fingerprint,
         gazetteer_bc=gazetteer_bc, extracted=extracted,
     )
+    if not work_dir:
+        result.persisted.append(extracted)
+    return result
 
 
 def _build_from_annotated(
@@ -300,6 +311,7 @@ def _build_from_annotated(
     if extracted is None:
         extracted = annotated
     gazetteer_df = gazetteer.to_dataframe(spark)
+    persisted: list = []
 
     mentions = extract_mentions(extracted)
     triples = extract_triples(extracted)
@@ -322,6 +334,7 @@ def _build_from_annotated(
         resolution = tables.read_table(spark, path)
     else:
         resolution = resolution.persist()
+        persisted.append(resolution)
 
     resolved_triples = resolve_triples(triples, resolution)
     resolved_mentions = resolve_mentions_table(mentions, resolution)
@@ -343,6 +356,7 @@ def _build_from_annotated(
             }
             res_bc = spark.sparkContext.broadcast(res_dict)
             fused = fused_graph_outputs(extracted, res_bc).persist()
+            persisted.append(fused)
 
     if fused is not None:
         edges = edges_from_combined(fused)
@@ -381,6 +395,7 @@ def _build_from_annotated(
         # output; edges/nodes are cheap filters over that cache.)
         nodes = nodes.persist()
         edges = edges.persist()
+        persisted.extend([nodes, edges])
 
     return GraphBuildResult(
         annotated=annotated,
@@ -391,4 +406,5 @@ def _build_from_annotated(
         resolved_mentions=resolved_mentions,
         nodes=nodes,
         edges=edges,
+        persisted=persisted,
     )

@@ -69,3 +69,92 @@ def start_triples_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_graph_stream(
+    spark: SparkSession,
+    input_dir: str,
+    graph_dir: str,
+    checkpoint_dir: str,
+    gazetteer_bc: Broadcast,
+    *,
+    available_now: bool = False,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Continuously maintained graph: per micro-batch, build the batch's
+    subgraph and MERGE it into the persistent nodes/edges tables.
+
+    ``foreachBatch`` gives at-least-once batch delivery; both MERGEs are
+    idempotent under replay (edge: max confidence / first non-empty
+    evidence keeps replayed rows absorbed; node: the replayed batch's
+    variants are already in the union — only ``mention_count`` would
+    double-count on a replay after a successful swap, which the
+    batch-id high-watermark below prevents).  Each table update is an
+    atomic directory swap (write to tmp, rename), so a crash mid-update
+    leaves the previous snapshot intact.
+
+    Incremental-linking semantics: "new"-entity canonicalization is
+    joint WITHIN a batch but not across batches (a later batch cannot
+    re-canonicalize earlier output) — the documented incremental
+    counterpart of the batch pipeline's corpus-joint clustering.
+    """
+    import json
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.operators.graph import (
+        merge_edges_incremental,
+        merge_nodes_incremental,
+    )
+    from islamic_ner_spark.plans.pipeline import build_graph
+
+    graph_path = Path(graph_dir)
+    graph_path.mkdir(parents=True, exist_ok=True)
+    marker = graph_path / "_last_batch.json"
+
+    def swap_in(df, name: str) -> None:
+        tmp = graph_path / f"_{name}_tmp"
+        final = graph_path / name
+        df.write.mode("overwrite").parquet(str(tmp))
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if marker.exists() and json.loads(marker.read_text())["batch_id"] >= batch_id:
+            return  # replayed batch already merged (post-swap crash)
+        if not batch_df.take(1):
+            return
+        result = build_graph(spark, batch_df)
+        new_edges = result.edges.persist()
+        new_nodes = result.nodes.persist()
+        edges_dir, nodes_dir = graph_path / "edges", graph_path / "nodes"
+        if edges_dir.exists():
+            merged_edges = merge_edges_incremental(
+                spark.read.parquet(str(edges_dir)), new_edges
+            )
+            merged_nodes = merge_nodes_incremental(
+                spark.read.parquet(str(nodes_dir)), new_nodes
+            )
+        else:
+            merged_edges, merged_nodes = new_edges, new_nodes
+        swap_in(merged_edges, "edges")
+        swap_in(merged_nodes, "nodes")
+        marker.write_text(json.dumps({"batch_id": batch_id}))
+        new_edges.unpersist()
+        new_nodes.unpersist()
+        result.unpersist()
+
+    transcripts = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = transcripts.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
