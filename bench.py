@@ -28,7 +28,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    convs_per_doc = int(os.environ.get("SPARK_GRAFT_CONVS_PER_DOC", "25"))
+    # default sized so fixed costs (session, vocabulary resolution) are
+    # amortized and the number reflects steady-state throughput: at sf0.1
+    # this is 6M turns, ~1.5 min on 32 cores
+    convs_per_doc = int(os.environ.get("SPARK_GRAFT_CONVS_PER_DOC", "300"))
     turns_per_conv = int(os.environ.get("SPARK_GRAFT_TURNS", "4"))
 
     from pyspark.sql import functions as F
