@@ -317,10 +317,18 @@ def _build_from_annotated(
     triples = extract_triples(extracted)
 
     if work_dir:
-        for name, df in (("mentions", mentions), ("triples", triples)):
+        # partition columns are the stages' natural pruning predicates
+        # (e.g. narration-chain queries filter pred) and give the lineage
+        # manifests their per-partition row counts
+        for name, df, pby in (
+            ("mentions", mentions, ["entity_type"]),
+            ("triples", triples, ["pred"]),
+        ):
             path = str(Path(work_dir) / name)
             if not tables.table_is_current(path, fingerprint):
-                tables.write_table(df, path, stage=name, fingerprint=fingerprint)
+                tables.write_table(
+                    df, path, stage=name, fingerprint=fingerprint, partition_by=pby
+                )
         mentions = tables.read_table(spark, str(Path(work_dir) / "mentions"))
         triples = tables.read_table(spark, str(Path(work_dir) / "triples"))
     else:
@@ -381,10 +389,15 @@ def _build_from_annotated(
             edges = build_edges_turn_local(resolved_triples)
 
     if work_dir:
-        for name, df in (("nodes", nodes), ("edges", edges)):
+        for name, df, pby in (
+            ("nodes", nodes, ["label"]),
+            ("edges", edges, ["pred"]),
+        ):
             path = str(Path(work_dir) / name)
             if not tables.table_is_current(path, fingerprint):
-                tables.write_table(df, path, stage=name, fingerprint=fingerprint)
+                tables.write_table(
+                    df, path, stage=name, fingerprint=fingerprint, partition_by=pby
+                )
         nodes = tables.read_table(spark, str(Path(work_dir) / "nodes"))
         edges = tables.read_table(spark, str(Path(work_dir) / "edges"))
     elif fused is None:
