@@ -95,7 +95,7 @@ def _local_components(spark, rows) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 30, local_threshold: int = 2_000_000
+    edges: DataFrame, max_iterations: int = 30, local_threshold: int = 500_000
 ) -> DataFrame:
     """``edges(src, dst)`` -> ``(node, component)``.
 
@@ -106,21 +106,29 @@ def connected_components(
     Size-adaptive: edge sets under ``local_threshold`` rows are solved
     with driver-side union-find (identical result, none of the per-round
     shuffle/job overhead); larger graphs run the iterative
-    large-star/small-star rounds.
+    large-star/small-star rounds.  The strategy probe is a COUNT over the
+    checkpointed edges — only a scalar crosses to the driver; edge rows
+    are shipped (at most ``local_threshold`` of them) only once the count
+    has proven the graph small enough for the local solve.
     """
     spark = edges.sparkSession
-    current = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    current = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        # materialize once: both strategies re-consume the deduped edges
+        # (the distributed rounds needed this checkpoint anyway), and the
+        # probe count then reads executor-local blocks instead of
+        # re-running the upstream lineage
+        .localCheckpoint(eager=True)
+    )
 
-    # one probing job decides the strategy AND, for the (common) small
-    # case, already delivers the data — vs the 3 driver round-trips of
-    # checkpoint + count + collect
-    probe = current.limit(local_threshold + 1).collect()
-    if not probe:
+    n_edges = current.limit(local_threshold + 1).count()
+    if n_edges == 0:
         return spark.createDataFrame([], "node string, component string")
-    if len(probe) <= local_threshold:
-        return _local_components(spark, probe)
+    if n_edges <= local_threshold:
+        return _local_components(spark, current.collect())
 
-    current = current.localCheckpoint(eager=True)
     signature = _signature(current)
 
     for _ in range(max_iterations):

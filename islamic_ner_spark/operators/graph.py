@@ -468,6 +468,12 @@ def fused_graph_outputs(extracted: DataFrame, resolution_bc) -> DataFrame:
                     edge_rows.append(k + (v[0], v[1], v[2]))
 
             n_e, n_v = len(edge_rows), len(vocab)
+            if not (n_e or n_v):
+                # a fully-empty construction would give the frame's list
+                # columns numpy float64 dtype, which Arrow cannot convert
+                # to list<string> (possible when a batch has no matches
+                # at all, e.g. non-Arabic input)
+                continue
             out = pd.DataFrame(
                 {
                     "out": ["edge"] * n_e + ["vnode"] * n_v,

@@ -59,33 +59,74 @@ def _distinct_linkable_strings(mentions: DataFrame, triples: DataFrame) -> DataF
 
 
 
-def _canonicalize_new(spark: SparkSession, new_strings: DataFrame) -> DataFrame:
-    """Joint clustering of unresolved strings.
+# blocks (shared tokens) larger than this are dropped from candidate
+# generation: a token carried by that many strings (Arabic name particles
+# like بن / ابو / عبد at corpus scale) cannot discriminate, and keeping it
+# makes the blocked self-join quadratic in the hot block's size.  Every
+# drop is logged — no silent coverage caps.
+MAX_BLOCK_SIZE = 1_000
 
-    Blocking: same (entity_type, shared whitespace token).  Pair scoring:
-    SequenceMatcher ratio >= 0.8 in an Arrow batch.  Components pick the
-    lexicographic-min norm_text as canonical.  Singletons resolve to
-    themselves — identical to the reference for every test fixture.
+
+def new_entity_nodes(new_strings: DataFrame) -> DataFrame:
+    """Distinct type-scoped node ids for unresolved strings.
+
+    Node id = ``entity_type \\x1f norm_text`` — \\x1f (unit separator)
+    cannot appear in normalized text, so the same string under different
+    types never merges.
     """
-    new_strings = new_strings.select("text", "entity_type", "norm_text")
-
-    # node id is type-scoped so same string of different types never
-    # merges; \x1f (unit separator) cannot appear in normalized text
-    nodes = new_strings.select(
+    return new_strings.select(
         F.concat_ws("\x1f", "entity_type", "norm_text").alias("node"),
         "entity_type",
         "norm_text",
     ).distinct()
+
+
+def new_pair_edges(
+    nodes: DataFrame, *, max_block_size: int = MAX_BLOCK_SIZE, log_dropped: bool = True
+) -> DataFrame:
+    """Similarity edges between unresolved strings.
+
+    Blocking: same (entity_type, shared whitespace token), with blocks
+    larger than ``max_block_size`` dropped (logged) so one ubiquitous
+    name particle cannot make the pair join quadratic in the vocabulary.
+    Pair scoring: SequenceMatcher ratio >= 0.8 in an Arrow batch
+    (entity_resolver.py:70-100 semantics).
+    """
+    from pyspark.sql import Window
 
     blocked = nodes.select(
         "node", "entity_type", "norm_text",
         F.explode(F.split("norm_text", " ")).alias("block_token"),
     ).where(F.col("block_token") != "")
 
+    # one shuffle keyed on the block: the window count and the subsequent
+    # self-join both consume the same (entity_type, block_token) hashing
+    block_w = Window.partitionBy("entity_type", "block_token")
+    capped = blocked.withColumn(
+        "block_n", F.count(F.lit(1)).over(block_w)
+    ).where(F.col("block_n") <= max_block_size).drop("block_n")
+
+    if log_dropped:
+        hot = (
+            blocked.groupBy("entity_type", "block_token")
+            .agg(F.count(F.lit(1)).alias("block_n"))
+            .where(F.col("block_n") > max_block_size)
+        )
+        hot_rows = hot.orderBy(F.desc("block_n")).take(5)
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "new-entity blocking dropped %d over-capacity block token(s) "
+                "(> %d strings each); largest: %s",
+                hot.count(), max_block_size,
+                [(r["entity_type"], r["block_token"], r["block_n"]) for r in hot_rows],
+            )
+
     pairs = (
-        blocked.alias("a")
+        capped.alias("a")
         .join(
-            blocked.alias("b"),
+            capped.alias("b"),
             on=[
                 F.col("a.entity_type") == F.col("b.entity_type"),
                 F.col("a.block_token") == F.col("b.block_token"),
@@ -111,10 +152,15 @@ def _canonicalize_new(spark: SparkSession, new_strings: DataFrame) -> DataFrame:
             ]
             yield batch.loc[keep, ["src", "dst"]]
 
-    edges = pairs.mapInPandas(score, schema="src string, dst string")
-    comp = connected_components(edges)
+    return pairs.mapInPandas(score, schema="src string, dst string")
 
-    resolved = (
+
+def canonicalize_from_pairs(nodes: DataFrame, pair_edges: DataFrame) -> DataFrame:
+    """(node, entity_type, norm_text) + similarity edges -> canonical per
+    string via connected components (lexicographic-min node id wins;
+    singletons resolve to themselves)."""
+    comp = connected_components(pair_edges)
+    return (
         nodes.join(comp, nodes["node"] == comp["node"], "left")
         .select(
             nodes["entity_type"],
@@ -125,7 +171,19 @@ def _canonicalize_new(spark: SparkSession, new_strings: DataFrame) -> DataFrame:
         .withColumn("canonical_name", F.substring_index("component", "\x1f", -1))
         .drop("component")
     )
-    return resolved
+
+
+def _canonicalize_new(
+    spark: SparkSession, new_strings: DataFrame, *, max_block_size: int = MAX_BLOCK_SIZE
+) -> DataFrame:
+    """Joint clustering of unresolved strings.
+
+    Blocking (capped) -> pairwise SequenceMatcher >= 0.8 -> connected
+    components; the lexicographic-min norm_text of each component is the
+    canonical.  Identical to the reference for every test fixture."""
+    nodes = new_entity_nodes(new_strings.select("text", "entity_type", "norm_text"))
+    edges = new_pair_edges(nodes, max_block_size=max_block_size)
+    return canonicalize_from_pairs(nodes, edges)
 
 
 def build_resolution_table(

@@ -71,6 +71,9 @@ def count_distinct_skew_safe(
     benefits from map-side partial aggregation over already-deduped rows."""
     return (
         df.select(key, value)
+        # countDistinct ignores NULL values; drop them before distinct()
+        # so the rewrite is a drop-in equivalent for any caller
+        .where(F.col(value).isNotNull())
         .distinct()
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias(count_alias))

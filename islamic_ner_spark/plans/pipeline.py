@@ -41,8 +41,10 @@ from islamic_ner_spark.operators.graph import (
 
 # above this many distinct (text, type) strings the resolution no longer
 # broadcasts comfortably as a Python dict; fall back to relational
-# materialize (broadcast joins + global aggs)
-FUSED_VOCAB_LIMIT = 2_000_000
+# materialize (broadcast joins + global aggs).  The strategy is decided
+# from a count() of the (persisted) resolution table — the rows are only
+# ever collected to the driver after the count says they fit.
+FUSED_VOCAB_LIMIT = 500_000
 from islamic_ner_spark.operators.linking import (
     build_resolution_table,
     resolve_triples,
@@ -149,6 +151,16 @@ def _annotate_resumable(
     if manifest and manifest.get("fingerprint") == fingerprint:
         done = tables.completed_buckets(path)
         resumed = True
+        # crash window: a wave's parquet job can commit and the process
+        # die before the manifest update records it.  Those bucket dirs
+        # hold real rows the manifest doesn't know about — re-annotating
+        # them would APPEND A SECOND COPY.  The manifest is the only
+        # source of truth, so drop any bucket dir it doesn't list.
+        import shutil
+
+        for bucket_dir in Path(path).glob("bucket=*"):
+            if bucket_dir.name.split("=", 1)[1] not in done:
+                shutil.rmtree(bucket_dir, ignore_errors=True)
     else:
         done = set()
         resumed = False
@@ -266,9 +278,19 @@ def build_graph(
     gazetteer = gazetteer or Gazetteer.from_dir(gazetteer_dir)
     gazetteer_bc = spark.sparkContext.broadcast(gazetteer)
     # input_token folds the input identity (path, row caps) into stage
-    # fingerprints so a work_dir is never silently reused across inputs
+    # fingerprints so a work_dir is never silently reused across inputs.
+    # Even without a token, a cheap intrinsic identity — schema + the
+    # source file listing (stable across job restarts, unlike plan/expr
+    # ids) — is folded in, so pointing an old work_dir at new parquet
+    # invalidates the staged tables instead of silently resuming them.
+    input_identity = transcripts.schema.simpleString()
+    try:
+        source_files = sorted(transcripts.inputFiles())
+    except Exception:  # non-file-backed plans (e.g. in-memory test frames)
+        source_files = []
     fingerprint = _fingerprint(
-        "v1", gazetteer_dir, sorted(gazetteer.lookup)[:50], input_token
+        "v1", gazetteer_dir, sorted(gazetteer.lookup)[:50], input_token,
+        input_identity, hashlib.sha256("\n".join(source_files).encode()).hexdigest(),
     )
 
     if work_dir:
@@ -355,12 +377,15 @@ def _build_from_annotated(
         # Hadith nodes, and per-batch pre-aggregated vocabulary node
         # candidates — no cache re-scans, no joins, no big shuffles
         # (operators/graph.fused_graph_outputs).  Needs the resolution as
-        # a driver-side dict; guard against extreme vocabularies.
-        res_rows = resolution.collect()
-        if len(res_rows) <= FUSED_VOCAB_LIMIT:
+        # a driver-side dict, so the strategy is chosen from a COUNT of
+        # the persisted resolution (a few bytes to the driver); the rows
+        # themselves are only collected once the count says they fit.
+        # Beyond FUSED_VOCAB_LIMIT the relational materialize is the
+        # default — no multi-GB speculative collect at extreme vocab.
+        if resolution.count() <= FUSED_VOCAB_LIMIT:
             res_dict = {
                 (r["text"], r["entity_type"]): (r["canonical_name"], r["confidence"])
-                for r in res_rows
+                for r in resolution.collect()
             }
             res_bc = spark.sparkContext.broadcast(res_dict)
             fused = fused_graph_outputs(extracted, res_bc).persist()

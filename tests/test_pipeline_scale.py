@@ -203,3 +203,35 @@ def test_workdir_not_reused_across_inputs(spark, tmp_path) -> None:
         map(tuple, r.edges.select("pred", "src_key", "tgt_key", "source_hadith").collect())
     )
     assert rows(r_b) == rows(fresh)
+
+
+def test_workdir_resume_crash_between_commit_and_manifest(spark, tmp_path) -> None:
+    """A wave's parquet job can commit and the process die BEFORE the
+    manifest update records it.  The re-run must treat those un-manifested
+    bucket dirs as uncommitted (delete + re-annotate), never append a
+    second copy of their rows."""
+    import json
+
+    transcripts = synthetic_transcripts(spark, 12, turns_per_conv=3)
+    work = str(tmp_path / "work")
+    r1 = build_graph(spark, transcripts, work_dir=work, n_buckets=4)
+    clean_rows = r1.annotated.count()
+    edges_1 = sorted(
+        map(tuple, r1.edges.select("pred", "src_key", "tgt_key", "source_hadith").collect())
+    )
+
+    # crash window: roll the manifest back to 2 buckets but LEAVE every
+    # parquet bucket dir on disk (the committed-but-unrecorded state)
+    annotated_path = tmp_path / "work" / "annotated"
+    manifest = json.loads((annotated_path / "_manifest.json").read_text())
+    full_buckets = dict(manifest["per_partition_rows"])
+    manifest["per_partition_rows"] = dict(list(full_buckets.items())[:2])
+    manifest["complete"] = False
+    (annotated_path / "_manifest.json").write_text(json.dumps(manifest))
+
+    r2 = build_graph(spark, transcripts, work_dir=work, n_buckets=4)
+    assert r2.annotated.count() == clean_rows  # no duplicated turns
+    edges_2 = sorted(
+        map(tuple, r2.edges.select("pred", "src_key", "tgt_key", "source_hadith").collect())
+    )
+    assert edges_1 == edges_2
