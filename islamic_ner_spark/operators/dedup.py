@@ -98,10 +98,50 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 16
+# a band bucket larger than this is dropped from candidate generation
+# (and logged): degenerate buckets — e.g. thousands of empty/near-empty
+# docs sharing one signature — would otherwise go quadratic within the
+# bucket.  Real near-dup clusters this large are still found through
+# their other (b-1) bands unless ALL their buckets are degenerate.
+MAX_BUCKET_SIZE = 5_000
+
+
+def _cap_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int | None, what: str
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band_id, band_hash)."""
+    """Drop (and log) over-capacity LSH buckets — no silent caps."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy(*key_cols)
+    capped = banded.withColumn(
+        "_bucket_n", F.count(F.lit(1)).over(bucket_w)
+    ).where(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
+
+    overflow = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .where(F.col("_bucket_n") > max_bucket_size)
+    )
+    n_over = overflow.count()
+    if n_over:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d over-capacity bucket(s) (> %d members) from "
+            "candidate generation; largest: %s",
+            what, n_over, max_bucket_size,
+            [r["_bucket_n"] for r in overflow.orderBy(F.desc("_bucket_n")).take(3)],
+        )
+    return capped
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 16, max_bucket_size: int | None = MAX_BUCKET_SIZE
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_id, band_hash); buckets
+    above ``max_bucket_size`` are dropped with a logged warning."""
     rows_per_band = (F.size("signature") / bands).cast("int")
     banded = (
         signatures.select(
@@ -120,6 +160,7 @@ def lsh_candidate_pairs(
             ).alias("band_hash"),
         )
     )
+    banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket_size, "minhash-lsh")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -181,6 +222,7 @@ def near_duplicate_groups(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash -> LSH bands -> exact-Jaccard verify -> components.
 
@@ -189,7 +231,7 @@ def near_duplicate_groups(
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
     )
-    candidates = lsh_candidate_pairs(sigs, bands=bands)
+    candidates = lsh_candidate_pairs(sigs, bands=bands, max_bucket_size=max_bucket_size)
     verified = verify_jaccard_pairs(
         candidates, df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
     )
@@ -234,16 +276,55 @@ def simhash_signatures(
     return df.select(id_col, text_col).mapInPandas(run, schema="id long, simhash long")
 
 
+def simhash_band_specs(bands: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(shift, width) per band, splitting ``bits`` into near-equal bands.
+
+    With ``bands = max_hamming + 1`` the pigeonhole principle guarantees
+    any pair within the Hamming budget agrees on at least one full band —
+    i.e. recall 1.0 at the candidate-generation stage.
+    """
+    widths = [bits // bands + (1 if i < bits % bands else 0) for i in range(bands)]
+    specs, shift = [], 0
+    for width in widths:
+        specs.append((shift, width))
+        shift += width
+    return specs
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
     max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
 ) -> DataFrame:
-    """Candidate pairs via 4x16-bit band buckets (any pair within Hamming
-    distance 3 must agree on at least one band), verified exactly."""
+    """Candidate pairs via SimHash band buckets, verified exactly.
+
+    ``bands`` defaults to ``max_hamming + 1`` so the band agreement
+    guarantee (pigeonhole) covers the full Hamming budget — no silent
+    recall loss; fewer bands trade recall for fewer candidates."""
+    if bands is None:
+        bands = max_hamming + 1
     sigs = simhash_signatures(df, id_col, text_col)
+    return simhash_pairs_from_signatures(
+        sigs, max_hamming=max_hamming, bands=bands, max_bucket_size=max_bucket_size
+    )
+
+
+def simhash_pairs_from_signatures(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Band-bucket candidate join + exact Hamming verify over a
+    precomputed ``(id, simhash)`` signature table — the relational tail
+    of :func:`simhash_near_duplicates` (replayable by a SQL oracle)."""
+    if bands is None:
+        bands = max_hamming + 1
     banded = sigs.select(
         "id",
         "simhash",
@@ -252,15 +333,16 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("band_value"),
                     )
-                    for i in range(4)
+                    for i, (shift, width) in enumerate(simhash_band_specs(bands))
                 ]
             )
         ).alias("band"),
     ).select("id", "simhash", "band.band_id", "band.band_value")
+    banded = _cap_buckets(banded, ["band_id", "band_value"], max_bucket_size, "simhash")
 
     pairs = (
         banded.alias("a")

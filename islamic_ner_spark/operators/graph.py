@@ -43,28 +43,20 @@ def _label_expr(type_col: str) -> F.Column:
     return expr
 
 
-def build_nodes(
+def node_candidate_rows(
     resolved_mentions: DataFrame,
     doc_index: DataFrame,
     resolved_triples: DataFrame | None = None,
     *,
     exclude_doc_scoped: bool = False,
 ) -> DataFrame:
-    """Node table from resolved mention spans + one Hadith node per doc +
-    triple endpoints (inferred entities, e.g. author-map books, exist only
-    as endpoints — the reference merges endpoint nodes during relation
-    insert, builder.py:125-126).
+    """The pre-aggregation node MERGE input: one row per (node key,
+    writer) with the writer's emit order — the relational half of
+    :func:`build_nodes`, exposed so the MERGE tail can be staged to
+    parquet and replayed by an independent SQL engine.
 
-    ``resolved_mentions`` columns: conv_id, turn_idx, doc_id, mention_idx,
-    text, entity_type, canonical_name, confidence, match_type.
-    ``doc_index`` columns: conv_id, turn_idx, doc_id (distinct docs).
-
-    With ``exclude_doc_scoped=True`` all HADITH_REF-typed rows (whose node
-    key is the per-turn ``doc_id``) are left out: the pipeline computes
-    those with the shuffle-free :func:`build_hadith_nodes_turn_local` and
-    unions them in, so the global agg only shuffles vocabulary-keyed rows
-    (which map-side partial aggregation collapses to ~|vocabulary| rows
-    per partition instead of ~|corpus| doc-keyed rows).
+    Columns: label, key, conv_id, turn_idx, emit_idx, original_text,
+    confidence.
     """
     keep_types = [t for t in NODE_LABELS if not (
         exclude_doc_scoped and t == "HADITH_REF")]
@@ -116,8 +108,22 @@ def build_nodes(
 
         rows = rows.unionByName(endpoint("subj", 0)).unionByName(endpoint("obj", 1))
 
-    rows = rows.withColumn("label", _label_expr("entity_type"))
+    return rows.select(
+        _label_expr("entity_type").alias("label"),
+        "key",
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("emit_idx").cast("long").alias("emit_idx"),
+        "original_text",
+        "confidence",
+    )
 
+
+def aggregate_nodes(rows: DataFrame) -> DataFrame:
+    """Node MERGE over candidate rows (the ``SET n += props`` tail):
+    last-writer-wins properties under (conv_id, turn_idx, emit_idx)
+    order, ``variants`` as sorted set union, ``mention_count`` as the
+    writer count (builder.py:404-443)."""
     # single struct-max carries both last-writer payloads in one agg
     # buffer (vs two max_by(col, order) buffers); order fields lead, so
     # struct comparison == last-writer-wins
@@ -149,6 +155,39 @@ def build_nodes(
         # (builder.py:339-343); Book author / Concept category default ""
         .withColumn("book_ref", F.when(F.col("label") == "Hadith", F.lit("")))
         .withColumn("chapter", F.when(F.col("label") == "Hadith", F.lit("")))
+    )
+
+
+def build_nodes(
+    resolved_mentions: DataFrame,
+    doc_index: DataFrame,
+    resolved_triples: DataFrame | None = None,
+    *,
+    exclude_doc_scoped: bool = False,
+) -> DataFrame:
+    """Node table from resolved mention spans + one Hadith node per doc +
+    triple endpoints (inferred entities, e.g. author-map books, exist only
+    as endpoints — the reference merges endpoint nodes during relation
+    insert, builder.py:125-126).
+
+    ``resolved_mentions`` columns: conv_id, turn_idx, doc_id, mention_idx,
+    text, entity_type, canonical_name, confidence, match_type.
+    ``doc_index`` columns: conv_id, turn_idx, doc_id (distinct docs).
+
+    With ``exclude_doc_scoped=True`` all HADITH_REF-typed rows (whose node
+    key is the per-turn ``doc_id``) are left out: the pipeline computes
+    those with the shuffle-free :func:`build_hadith_nodes_turn_local` and
+    unions them in, so the global agg only shuffles vocabulary-keyed rows
+    (which map-side partial aggregation collapses to ~|vocabulary| rows
+    per partition instead of ~|corpus| doc-keyed rows).
+    """
+    return aggregate_nodes(
+        node_candidate_rows(
+            resolved_mentions,
+            doc_index,
+            resolved_triples,
+            exclude_doc_scoped=exclude_doc_scoped,
+        )
     )
 
 
@@ -212,8 +251,13 @@ def build_edges(resolved_triples: DataFrame) -> DataFrame:
     General-purpose (any input partitioning) global-groupBy strategy; the
     pipeline uses the shuffle-free :func:`build_edges_turn_local` variant.
     """
-    rows = _edge_rows(resolved_triples)
+    return aggregate_edges(edge_candidate_rows(resolved_triples))
 
+
+def aggregate_edges(rows: DataFrame) -> DataFrame:
+    """Edge MERGE over candidate rows (the upsert tail): first writer in
+    (conv_id, turn_idx, emit_idx) order fixes confidence/evidence per
+    key, ``merge_count`` counts the writers (builder.py:99-123,427-435)."""
     # single struct-min carries both payloads in one agg buffer (half the
     # sort width of two min_by(col, order) buffers); the order fields
     # lead, so struct comparison == first-writer-wins
@@ -247,8 +291,10 @@ _EDGES_OUT_SCHEMA = (
 )
 
 
-def _edge_rows(resolved_triples: DataFrame) -> DataFrame:
-    """Shared projection + validity filter for both edge-merge strategies."""
+def edge_candidate_rows(resolved_triples: DataFrame) -> DataFrame:
+    """Shared projection + validity filter for both edge-merge strategies
+    (exposed so the MERGE tail can be staged to parquet and replayed by
+    an independent SQL engine)."""
     return resolved_triples.select(
         "conv_id",
         "turn_idx",
@@ -290,7 +336,7 @@ def build_edges_turn_local(resolved_triples: DataFrame) -> DataFrame:
     partition.  Use :func:`build_edges` for inputs of unknown layout
     (results are identical; verified in tests/test_graph_pipeline.py).
     """
-    rows = _edge_rows(resolved_triples).select(
+    rows = edge_candidate_rows(resolved_triples).select(
         "pred", "src_label", "src_key", "tgt_label", "tgt_key",
         "source_hadith", "confidence", "evidence", "emit_idx",
     )

@@ -208,6 +208,19 @@ def build_resolution_table(
     callers that want the dimension relationally (tests, ad-hoc joins).
     """
     strings = _distinct_linkable_strings(mentions, triples)
+    scored = score_strings_ladder(strings, gazetteer_bc).persist()
+
+    new_strings = scored.where(F.col("match_type") == "new").select(
+        "text", "entity_type", "norm_text"
+    )
+    new_canon = _canonicalize_new(spark, new_strings)
+    return resolution_from_scored(scored, new_canon)
+
+
+def score_strings_ladder(strings: DataFrame, gazetteer_bc: Broadcast) -> DataFrame:
+    """Distinct strings -> per-string exact/fuzzy/new scoring in one
+    batched Arrow pass (the per-string half of the resolution ladder; the
+    'new' rows still need the joint canonicalization)."""
 
     def ladder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from islamic_ner_spark.functions.normalize import normalize
@@ -238,20 +251,25 @@ def build_resolution_table(
             out["match_type"] = mt_l
             yield out
 
-    scored = strings.mapInPandas(ladder, schema=RESOLUTION_SCHEMA).persist()
+    return strings.mapInPandas(ladder, schema=RESOLUTION_SCHEMA)
 
+
+def resolution_from_scored(scored: DataFrame, new_canon: DataFrame) -> DataFrame:
+    """Assemble the final resolution table: exact/fuzzy rows pass
+    through; 'new' rows take their joint canonical (confidence 0.5,
+    entity_resolver.py:55-68)."""
     resolved = scored.where(F.col("match_type") != "new")
-    new_strings = scored.where(F.col("match_type") == "new").select(
-        "text", "entity_type", "norm_text"
+    new_hits = (
+        scored.where(F.col("match_type") == "new")
+        .select("text", "entity_type", "norm_text")
+        .join(new_canon, ["entity_type", "norm_text"])
+        .select(
+            "text", "entity_type", "norm_text",
+            F.col("canonical_name"),
+            F.lit(0.5).alias("confidence"),
+            F.lit("new").alias("match_type"),
+        )
     )
-    new_canon = _canonicalize_new(spark, new_strings)
-    new_hits = new_strings.join(new_canon, ["entity_type", "norm_text"]).select(
-        "text", "entity_type", "norm_text",
-        F.col("canonical_name"),
-        F.lit(0.5).alias("confidence"),
-        F.lit("new").alias("match_type"),
-    )
-
     return resolved.unionByName(new_hits)
 
 

@@ -147,7 +147,23 @@ def lsh_topk(
         .select("qid", "vid")
         .distinct()
     )
+    return topk_from_candidates(
+        emb, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    )
 
+
+def topk_from_candidates(
+    emb: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-scoring + per-query ranking of a candidate set
+    ``(qid, vid)`` — the relational tail shared by every ANN variant
+    (and independently replayable by a SQL oracle)."""
     corpus = _with_norm(emb, id_col, vec_col)
     qs = _with_norm(queries, id_col, vec_col).select(
         F.col("vid").alias("qid2"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")

@@ -31,20 +31,6 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _transcripts(spark: SparkSession, sf_dir: str, turns: int = 3) -> DataFrame:
-    """Deterministic transcripts keyed by the documents table's doc_ids."""
-    from islamic_ner_spark.sources.transcripts import transcripts_from_documents
-
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
-    return transcripts_from_documents(spark, docs, turns_per_conv=turns)
-
-
-def _graph(spark: SparkSession, sf_dir: str):
-    from islamic_ner_spark.plans.pipeline import build_graph
-
-    return build_graph(spark, _transcripts(spark, sf_dir))
-
-
 # ---------------------------------------------------------------------------
 # SQL-oracled queries
 # ---------------------------------------------------------------------------
@@ -235,38 +221,85 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: in
 
 
 # ---------------------------------------------------------------------------
-# KG pipeline queries (rows-only checks; semantics gated by pytest parity)
+# KG pipeline queries (staged-kernel + SQL-oracled relational tail)
+#
+# DuckDB cannot run the Python kernels (Aho-Corasick, SequenceMatcher,
+# blake2b minhash) — but everything downstream of them is relational.
+# Each query stages its kernel outputs to parquet once per sf
+# (plans/staging.py), computes the answer from the staged tables with
+# Spark operators, and pairs with an ORACLE_SQL entry that replays the
+# identical relational tail in DuckDB over the same files (connected
+# components via recursive CTE).  Kernel semantics themselves are gated
+# by the pytest reference-parity fuzz suites.
 # ---------------------------------------------------------------------------
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from islamic_ner_spark.operators.ner import annotate_transcripts
+    """Triple fact table: JVM explode of the staged annotate arrays."""
     from islamic_ner_spark.operators.relations import extract_triples
-    from islamic_ner_spark.plans.pipeline import DEFAULT_GAZETTEER_DIR
-    from islamic_ner_spark.sources.gazetteer import Gazetteer
+    from islamic_ner_spark.plans import staging
 
-    gazetteer = Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR)
-    bc = spark.sparkContext.broadcast(gazetteer)
-    annotated = annotate_transcripts(_transcripts(spark, sf_dir), bc)
+    staging.ensure_kg_stage(spark, sf_dir)
+    annotated = spark.read.parquet(staging.stage_path("kg", "annotated"))
     return extract_triples(annotated)
 
 
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph(spark, sf_dir).edges
+    """Edge MERGE (first-writer-wins per key) over staged candidate rows
+    — semantics per builder.py:99-123,404-443."""
+    from islamic_ner_spark.operators.graph import aggregate_edges
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    return aggregate_edges(spark.read.parquet(staging.stage_path("kg", "edge_rows")))
 
 
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph(spark, sf_dir).nodes.select(
-        "label", "key", "name_ar", "confidence", "variants", "mention_count"
+    """Node MERGE (last-writer props, variant set-union) over staged
+    candidate rows; ``variants`` serialized '|'-joined so the row set is
+    hashable by the driver's value-hash harness."""
+    from islamic_ner_spark.operators.graph import aggregate_nodes
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    rows = spark.read.parquet(staging.stage_path("kg", "node_rows"))
+    return aggregate_nodes(rows).select(
+        "label",
+        "key",
+        "name_ar",
+        "confidence",
+        F.concat_ws("|", "variants").alias("variants"),
+        "mention_count",
     )
 
 
 def q_kg_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph(spark, sf_dir).resolution
+    """Resolution assembly: scored ladder rows + joint canonicalization
+    of the 'new' remainder via connected components over staged
+    similarity pairs (query.py:40-66 / entity_resolver.py:55-68)."""
+    from islamic_ner_spark.operators.linking import (
+        canonicalize_from_pairs,
+        resolution_from_scored,
+    )
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    scored = spark.read.parquet(staging.stage_path("kg", "resolution_scored"))
+    new_nodes = spark.read.parquet(staging.stage_path("kg", "new_nodes"))
+    pair_edges = spark.read.parquet(staging.stage_path("kg", "new_pair_edges"))
+    return resolution_from_scored(
+        scored, canonicalize_from_pairs(new_nodes, pair_edges)
+    )
 
 
 def q_kg_narration_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _graph(spark, sf_dir).edges
+    """Scholar->Scholar NARRATED_FROM chains in stable order
+    (query.py:40-66) over the MERGE-aggregated edge table."""
+    from islamic_ner_spark.operators.graph import aggregate_edges
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    edges = aggregate_edges(spark.read.parquet(staging.stage_path("kg", "edge_rows")))
     return (
         edges.where(
             (F.col("pred") == "NARRATED_FROM")
@@ -279,10 +312,14 @@ def q_kg_narration_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_scholar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the scholar narration graph — Spark
+    large-star/small-star vs the oracle's recursive-CTE closure."""
     from islamic_ner_spark.operators.components import connected_components
+    from islamic_ner_spark.plans import staging
 
-    edges = _graph(spark, sf_dir).edges
-    scholar_pairs = edges.where(
+    staging.ensure_kg_stage(spark, sf_dir)
+    rows = spark.read.parquet(staging.stage_path("kg", "edge_rows"))
+    scholar_pairs = rows.where(
         (F.col("pred") == "NARRATED_FROM")
         & (F.col("src_label") == "Scholar")
         & (F.col("tgt_label") == "Scholar")
@@ -290,53 +327,88 @@ def q_kg_scholar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(scholar_pairs)
 
 
-def _documents_with_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents plus a deterministic near-duplicate of each doc (id+10^6,
-    first 12 chars dropped) — guarantees the near-dup operators have
-    positive findings to verify at any scale factor."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    perturbed = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.substring("text", 13, 1_000_000).alias("text"),
-    )
-    return docs.unionByName(perturbed)
-
-
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from islamic_ner_spark.operators.dedup import near_duplicate_groups
+    """Duplicate grouping: connected components over staged verified
+    MinHash pairs (group = min doc id, lexicographic on the string key)."""
+    from islamic_ner_spark.operators.components import connected_components
+    from islamic_ner_spark.plans import staging
 
-    corpus = _documents_with_perturbed(spark, sf_dir)
-    return near_duplicate_groups(corpus, threshold=0.7).orderBy("id")
+    staging.ensure_dedup_stage(spark, sf_dir)
+    pairs = spark.read.parquet(staging.stage_path("dedup", "minhash_pairs"))
+    comp = connected_components(
+        pairs.select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    return comp.select(
+        F.col("node").cast("long").alias("id"),
+        F.col("component").cast("long").alias("group"),
+    ).orderBy("id")
 
 
 def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from islamic_ner_spark.operators.dedup import simhash_near_duplicates
+    """Band-bucket candidate join + exact Hamming verify over staged
+    SimHash signatures (bands = max_hamming + 1 -> full recall)."""
+    from islamic_ner_spark.operators.dedup import simhash_pairs_from_signatures
+    from islamic_ner_spark.plans import staging
 
-    corpus = _documents_with_perturbed(spark, sf_dir)
-    return simhash_near_duplicates(corpus, max_hamming=6).orderBy("id_a", "id_b")
+    staging.ensure_dedup_stage(spark, sf_dir)
+    sigs = spark.read.parquet(staging.stage_path("dedup", "simhash_sigs"))
+    return simhash_pairs_from_signatures(
+        sigs, max_hamming=staging.SIMHASH_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from islamic_ner_spark.operators.similarity import lsh_topk
+    """ANN: band-bucket candidates from staged hyperplane signatures,
+    exact cosine re-score of candidates only, per-query rank."""
+    from islamic_ner_spark.operators.similarity import topk_from_candidates
+    from islamic_ner_spark.plans import staging
 
+    staging.ensure_ann_stage(spark, sf_dir)
+    sig = spark.read.parquet(staging.stage_path("ann", "ann_sigs"))
+    qsig = sig.where(F.col("vid") < staging.ANN_N_QUERIES).select(
+        F.col("vid").alias("qid"),
+        F.col("band_id").alias("qband"),
+        F.col("band_hash").alias("qhash"),
+    )
+    candidates = (
+        qsig.join(
+            sig,
+            on=[
+                F.col("qband") == F.col("band_id"),
+                F.col("qhash") == F.col("band_hash"),
+            ],
+        )
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "vid")
+        .distinct()
+    )
     emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries, k=5, n_planes=16, bands=8)
+    queries = emb.where(F.col("vec_id") < staging.ANN_N_QUERIES)
+    return topk_from_candidates(emb, queries, candidates, k=5)
 
 
 def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from islamic_ner_spark.operators.ner import annotate_transcripts
-    from islamic_ner_spark.operators.stats import label_distribution
-    from islamic_ner_spark.plans.pipeline import DEFAULT_GAZETTEER_DIR
-    from islamic_ner_spark.sources.gazetteer import Gazetteer
+    """Per-label token share over the staged annotate labels; the share
+    is exact integer milli-percent so no float rounding can drift
+    between engines."""
+    from islamic_ner_spark.plans import staging
 
-    bc = spark.sparkContext.broadcast(Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR))
-    annotated = annotate_transcripts(_transcripts(spark, sf_dir), bc)
-    return label_distribution(annotated)
+    staging.ensure_kg_stage(spark, sf_dir)
+    annotated = spark.read.parquet(staging.stage_path("kg", "annotated"))
+    counts = annotated.select(F.explode("labels").alias("label")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.withColumn("total", total).select(
+        "label", "n", F.expr("(n * 100000) div total").alias("pct_x1000")
+    )
 
 
 QUERIES = {
-    # SQL-oracled
+    # SQL-oracled over the source tables
     "normalize_documents": q_normalize_documents,
     "token_stats": q_token_stats,
     "dedup_exact": q_dedup_exact,
@@ -347,14 +419,14 @@ QUERIES = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "orders_per_nation": q_orders_per_nation,
     "embedding_topk": q_embedding_topk,
-    # KG pipeline (rows-only)
+    # KG pipeline (staged kernels + SQL-oracled relational tail)
     "kg_triples": q_kg_triples,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
     "kg_resolution": q_kg_resolution,
     "kg_narration_chains": q_kg_narration_chains,
     "kg_scholar_components": q_kg_scholar_components,
-    # training-data pipeline (rows-only)
+    # training-data pipeline (staged kernels + SQL-oracled tail)
     "neardup_minhash": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -490,3 +562,217 @@ ORACLE_SQL = {
         SELECT qid, rank, nid, cos_x1e6 FROM ranked WHERE rank <= 5
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Staged-table oracles: DuckDB replays each KG/dedup/ANN query's
+# relational tail over the SAME parquet files the Spark query consumes
+# (written by plans/staging.py inside the query call, which the harness
+# runs before the oracle).  Connected components is expressed as a
+# recursive-CTE transitive closure with min-label semantics — an
+# implementation genuinely independent of the large-star/small-star
+# rounds it checks.
+# ---------------------------------------------------------------------------
+
+from islamic_ner_spark.plans import staging as _staging  # noqa: E402
+
+_ANNOTATED = _staging.stage_glob("kg", "annotated")
+_EDGE_ROWS = _staging.stage_glob("kg", "edge_rows")
+_NODE_ROWS = _staging.stage_glob("kg", "node_rows")
+_SCORED = _staging.stage_glob("kg", "resolution_scored")
+_NEW_NODES = _staging.stage_glob("kg", "new_nodes")
+_NEW_PAIRS = _staging.stage_glob("kg", "new_pair_edges")
+_MINHASH_PAIRS = _staging.stage_glob("dedup", "minhash_pairs")
+_SIMHASH_SIGS = _staging.stage_glob("dedup", "simhash_sigs")
+_ANN_SIGS = _staging.stage_glob("ann", "ann_sigs")
+
+
+def _components_ctes(pairs_cte: str) -> str:
+    """Recursive min-label closure over a CTE named ``pairs`` with
+    (src, dst) columns; yields CTEs ``bi``, ``reach``, ``comp`` where
+    comp(node, component) matches operators/components.py semantics
+    (component = lexicographic min node id of the component)."""
+    return f"""
+        {pairs_cte},
+        bi AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+        reach AS (
+            SELECT src AS node, dst AS r FROM bi
+            UNION
+            SELECT reach.node, bi.dst AS r FROM reach JOIN bi ON reach.r = bi.src
+        ),
+        comp AS (SELECT node, least(node, MIN(r)) AS component FROM reach GROUP BY node)
+    """
+
+
+_EDGE_MERGE_SQL = f"""
+        SELECT pred, src_label, src_key, tgt_label, tgt_key, source_hadith,
+               arg_min(confidence, emit_idx) AS confidence,
+               arg_min(evidence, emit_idx) AS evidence,
+               COUNT(*) AS merge_count
+        FROM read_parquet('{_EDGE_ROWS}')
+        GROUP BY pred, src_label, src_key, tgt_label, tgt_key, source_hadith
+"""
+
+# unsigned view of the signed-stored 64-bit simhash for band arithmetic
+_U64 = "(CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0 THEN 18446744073709551616 ELSE 0 END)"
+
+
+def _simhash_band_union() -> str:
+    from islamic_ner_spark.operators.dedup import simhash_band_specs
+
+    return " UNION ALL ".join(
+        f"SELECT id, simhash, {i} AS band_id, "
+        f"CAST(({_U64} // {1 << shift}) % {1 << width} AS BIGINT) AS band_value "
+        f"FROM sigs"
+        for i, (shift, width) in enumerate(
+            simhash_band_specs(_staging.SIMHASH_BANDS)
+        )
+    )
+
+
+def _max_bucket_size() -> int:
+    from islamic_ner_spark.operators.dedup import MAX_BUCKET_SIZE
+
+    return MAX_BUCKET_SIZE
+
+
+ORACLE_SQL.update({
+    "kg_triples": f"""
+        SELECT doc_id, conv_id, turn_idx, UNNEST(triples, recursive := true)
+        FROM read_parquet('{_ANNOTATED}')
+    """,
+    "kg_edges": _EDGE_MERGE_SQL,
+    "kg_narration_chains": f"""
+        WITH edges AS ({_EDGE_MERGE_SQL})
+        SELECT source_hadith, src_key AS source, tgt_key AS target, confidence
+        FROM edges
+        WHERE pred = 'NARRATED_FROM'
+          AND src_label = 'Scholar' AND tgt_label = 'Scholar'
+    """,
+    "kg_nodes": f"""
+        WITH rows_ AS (SELECT * FROM read_parquet('{_NODE_ROWS}')),
+        winners AS (
+            SELECT label, key, original_text, confidence,
+                   row_number() OVER (
+                       PARTITION BY label, key
+                       ORDER BY conv_id DESC, turn_idx DESC, emit_idx DESC
+                   ) AS rn
+            FROM rows_
+        ),
+        aggs AS (
+            SELECT label, key,
+                   string_agg(DISTINCT original_text, '|' ORDER BY original_text)
+                       AS variants,
+                   COUNT(*) AS mention_count
+            FROM rows_ GROUP BY label, key
+        )
+        SELECT a.label, a.key, w.original_text AS name_ar,
+               w.confidence AS confidence, a.variants, a.mention_count
+        FROM aggs a
+        JOIN winners w ON a.label = w.label AND a.key = w.key AND w.rn = 1
+    """,
+    "kg_resolution": f"""
+        WITH RECURSIVE
+        {_components_ctes(
+            f"pairs AS (SELECT src, dst FROM read_parquet('{_NEW_PAIRS}'))"
+        )},
+        canon AS (
+            SELECT n.entity_type, n.norm_text,
+                   split_part(COALESCE(c.component, n.node), chr(31), 2)
+                       AS canonical_name
+            FROM read_parquet('{_NEW_NODES}') n
+            LEFT JOIN comp c ON n.node = c.node
+        )
+        SELECT text, entity_type, norm_text, canonical_name, confidence, match_type
+        FROM read_parquet('{_SCORED}') WHERE match_type <> 'new'
+        UNION ALL
+        SELECT s.text, s.entity_type, s.norm_text, c.canonical_name,
+               CAST(0.5 AS DOUBLE) AS confidence, 'new' AS match_type
+        FROM read_parquet('{_SCORED}') s
+        JOIN canon c ON s.entity_type = c.entity_type AND s.norm_text = c.norm_text
+        WHERE s.match_type = 'new'
+    """,
+    "kg_scholar_components": f"""
+        WITH RECURSIVE
+        {_components_ctes(f'''pairs AS (
+            SELECT DISTINCT src_key AS src, tgt_key AS dst
+            FROM read_parquet('{_EDGE_ROWS}')
+            WHERE pred = 'NARRATED_FROM'
+              AND src_label = 'Scholar' AND tgt_label = 'Scholar'
+              AND src_key <> tgt_key
+        )''')}
+        SELECT node, component FROM comp
+    """,
+    "neardup_minhash": f"""
+        WITH RECURSIVE
+        {_components_ctes(f'''pairs AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM read_parquet('{_MINHASH_PAIRS}')
+            WHERE id_a <> id_b
+        )''')}
+        SELECT CAST(node AS BIGINT) AS id, CAST(component AS BIGINT) AS "group"
+        FROM comp
+    """,
+    "neardup_simhash": f"""
+        WITH sigs AS (SELECT * FROM read_parquet('{_SIMHASH_SIGS}')),
+        banded AS ({_simhash_band_union()}),
+        capped AS (
+            SELECT id, simhash, band_id, band_value FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_value) AS bn
+                FROM banded
+            ) WHERE bn <= {_max_bucket_size()}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM capped a
+            JOIN capped b
+              ON a.band_id = b.band_id AND a.band_value = b.band_value
+             AND a.id < b.id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {_staging.SIMHASH_MAX_HAMMING}
+    """,
+    "ann_lsh_topk": f"""
+        WITH sig AS (SELECT * FROM read_parquet('{_ANN_SIGS}')),
+        cand AS (
+            SELECT DISTINCT q.vid AS qid, c.vid AS nid
+            FROM sig q
+            JOIN sig c ON q.band_id = c.band_id AND q.band_hash = c.band_hash
+            WHERE q.vid < {_staging.ANN_N_QUERIES} AND q.vid <> c.vid
+        ),
+        vecs AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id, vec, sqrt(list_sum([x * x FOR x IN vec])) AS nrm
+            FROM vecs
+        ),
+        scored AS (
+            SELECT cand.qid, cand.nid,
+                   CAST(round(list_sum([q.vec[i] * n.vec[i] FOR i IN range(1, 65)])
+                              / (q.nrm * n.nrm) * 1000000, 0) AS BIGINT) AS cos_x1e6
+            FROM cand
+            JOIN norms q ON cand.qid = q.vec_id
+            JOIN norms n ON cand.nid = n.vec_id
+        ),
+        ranked AS (
+            SELECT qid, nid, cos_x1e6,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_x1e6 DESC, nid ASC) AS BIGINT)
+                       AS rank
+            FROM scored
+        )
+        SELECT qid, rank, nid, cos_x1e6 FROM ranked WHERE rank <= 5
+    """,
+    "label_distribution": f"""
+        WITH lab AS (
+            SELECT UNNEST(labels) AS label FROM read_parquet('{_ANNOTATED}')
+        ),
+        counts AS (SELECT label, COUNT(*) AS n FROM lab GROUP BY label)
+        SELECT label, n, (n * 100000) // SUM(n) OVER () AS pct_x1000
+        FROM counts
+    """,
+})

@@ -1,0 +1,210 @@
+"""Oracle staging: materialize the Python/Arrow stage outputs to parquet
+so every driver query's *relational tail* is SQL that BOTH engines run.
+
+DuckDB cannot execute Aho-Corasick matching, SequenceMatcher scoring, or
+blake2b minhashing — but everything downstream of those kernels (edge
+MERGE aggregation, node variant-union/last-writer, connected components,
+band-bucket candidate joins, top-k ranking) is relational.  Each stage
+group writes its kernel outputs once per (sf_dir, STAGE_VERSION) under
+``.stage/``; the Spark query then computes its answer from the staged
+parquet with DataFrame operators, and the paired ``ORACLE_SQL`` entry
+computes the same answer in DuckDB over the *same files* (connected
+components via recursive CTE).  The result: a genuine differential test
+of the relational tail instead of a rows-only count.
+
+Staleness: a ``_STAGE_META.json`` records (sf_dir, version); any
+mismatch wipes and rebuilds the group.  Bump ``STAGE_VERSION`` whenever
+staged semantics change.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAGE_VERSION = "r2-1"
+STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
+
+# shared query parameters (must match the paired ORACLE_SQL strings)
+MINHASH_THRESHOLD = 0.7
+SIMHASH_MAX_HAMMING = 6
+SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: full recall
+ANN_N_PLANES = 16
+ANN_BANDS = 8
+ANN_N_QUERIES = 20
+
+
+def stage_path(group: str, table: str) -> str:
+    return str(STAGE_ROOT / group / table)
+
+
+def stage_glob(group: str, table: str) -> str:
+    """DuckDB-readable glob for a staged Spark parquet directory."""
+    return f"{stage_path(group, table)}/*.parquet"
+
+
+def _meta_file(group: str) -> Path:
+    return STAGE_ROOT / group / "_STAGE_META.json"
+
+
+def _is_current(group: str, sf_dir: str) -> bool:
+    try:
+        meta = json.loads(_meta_file(group).read_text())
+    except (OSError, json.JSONDecodeError):
+        return False
+    return meta.get("sf_dir") == sf_dir and meta.get("version") == STAGE_VERSION
+
+
+def _mark(group: str, sf_dir: str) -> None:
+    _meta_file(group).write_text(
+        json.dumps({"sf_dir": sf_dir, "version": STAGE_VERSION})
+    )
+
+
+def _reset(group: str) -> None:
+    shutil.rmtree(STAGE_ROOT / group, ignore_errors=True)
+    (STAGE_ROOT / group).mkdir(parents=True, exist_ok=True)
+
+
+def _write(df: DataFrame, group: str, table: str) -> DataFrame:
+    df.write.mode("overwrite").parquet(stage_path(group, table))
+    return df.sparkSession.read.parquet(stage_path(group, table))
+
+
+def documents_with_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a deterministic near-duplicate of each doc (id+10^6,
+    first 12 chars dropped) — guarantees the near-dup operators have
+    positive findings to verify at any scale factor."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 13, 1_000_000).alias("text"),
+    )
+    return docs.unionByName(perturbed)
+
+
+def ensure_kg_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the KG dataflow's kernel outputs for ``sf_dir``:
+
+    * ``annotated``    — conv_id, turn_idx, doc_id, labels, mentions, triples
+    * ``resolution_scored`` — per-string exact/fuzzy/new ladder output
+    * ``new_nodes`` / ``new_pair_edges`` — joint-canonicalization inputs
+    * ``edge_rows``    — pre-MERGE edge candidate rows (post-linking)
+    * ``node_rows``    — pre-MERGE node candidate rows (post-linking)
+    """
+    if _is_current("kg", sf_dir):
+        return
+    _reset("kg")
+
+    from islamic_ner_spark.operators.graph import (
+        edge_candidate_rows,
+        node_candidate_rows,
+    )
+    from islamic_ner_spark.operators.linking import (
+        _distinct_linkable_strings,
+        canonicalize_from_pairs,
+        new_entity_nodes,
+        new_pair_edges,
+        resolution_from_scored,
+        resolve_triples,
+        score_strings_ladder,
+    )
+    from islamic_ner_spark.operators.ner import annotate_transcripts
+    from islamic_ner_spark.operators.relations import extract_mentions, extract_triples
+    from islamic_ner_spark.plans.pipeline import (
+        DEFAULT_GAZETTEER_DIR,
+        resolve_mentions_table,
+    )
+    from islamic_ner_spark.sources.gazetteer import Gazetteer
+    from islamic_ner_spark.sources.transcripts import transcripts_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    transcripts = transcripts_from_documents(spark, docs, turns_per_conv=3)
+    gazetteer_bc = spark.sparkContext.broadcast(
+        Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR)
+    )
+
+    annotated = _write(
+        annotate_transcripts(transcripts, gazetteer_bc).select(
+            "conv_id", "turn_idx", "doc_id", "labels", "mentions", "triples"
+        ),
+        "kg", "annotated",
+    )
+    mentions = extract_mentions(annotated)
+    triples = extract_triples(annotated)
+
+    scored = _write(
+        score_strings_ladder(
+            _distinct_linkable_strings(mentions, triples), gazetteer_bc
+        ),
+        "kg", "resolution_scored",
+    )
+    new_nodes = _write(
+        new_entity_nodes(
+            scored.where(F.col("match_type") == "new").select(
+                "text", "entity_type", "norm_text"
+            )
+        ),
+        "kg", "new_nodes",
+    )
+    pair_edges = _write(new_pair_edges(new_nodes), "kg", "new_pair_edges")
+
+    resolution = resolution_from_scored(
+        scored, canonicalize_from_pairs(new_nodes, pair_edges)
+    ).persist()
+    resolved_triples = resolve_triples(triples, resolution)
+    _write(edge_candidate_rows(resolved_triples), "kg", "edge_rows")
+    _write(
+        node_candidate_rows(
+            resolve_mentions_table(mentions, resolution),
+            annotated.select("conv_id", "turn_idx", "doc_id"),
+            resolved_triples,
+        ),
+        "kg", "node_rows",
+    )
+    resolution.unpersist()
+    _mark("kg", sf_dir)
+
+
+def ensure_dedup_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage near-dup kernel outputs: verified MinHash pair edges
+    (``minhash_pairs``) and SimHash signatures (``simhash_sigs``)."""
+    if _is_current("dedup", sf_dir):
+        return
+    _reset("dedup")
+
+    from islamic_ner_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_signatures,
+        verify_jaccard_pairs,
+    )
+
+    corpus = documents_with_perturbed(spark, sf_dir)
+    sigs = minhash_signatures(corpus)
+    verified = verify_jaccard_pairs(
+        lsh_candidate_pairs(sigs), corpus, threshold=MINHASH_THRESHOLD
+    )
+    _write(verified.select("id_a", "id_b"), "dedup", "minhash_pairs")
+    _write(simhash_signatures(corpus), "dedup", "simhash_sigs")
+    _mark("dedup", sf_dir)
+
+
+def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage hyperplane-LSH signatures (``ann_sigs``) over embeddings."""
+    if _is_current("ann", sf_dir):
+        return
+    _reset("ann")
+
+    from islamic_ner_spark.operators.similarity import hyperplane_signatures
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _write(
+        hyperplane_signatures(emb, n_planes=ANN_N_PLANES, bands=ANN_BANDS),
+        "ann", "ann_sigs",
+    )
+    _mark("ann", sf_dir)

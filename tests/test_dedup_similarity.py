@@ -108,3 +108,58 @@ def test_lsh_topk_recall(embeddings) -> None:
     approx = lsh_topk(embeddings, queries, k=5, n_planes=16, bands=8)
     recall = topk_recall(approx, exact)
     assert recall >= 0.5, recall  # 8 bands of 2 bits -> high candidate recall
+
+
+def test_bucket_cap_drops_degenerate_buckets(spark) -> None:
+    """Hundreds of identical (e.g. empty-ish) docs share every band
+    bucket; with a cap the degenerate bucket is dropped instead of going
+    quadratic, while normal near-dup pairs are still found."""
+    n_degenerate = 300
+    rows = [(i, "xx") for i in range(n_degenerate)]
+    rows += [(1000, BASE), (1001, BASE.replace("lazy", "sleepy"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs), max_bucket_size=100
+        ).collect()
+    }
+    assert (1000, 1001) in pairs                       # real pair survives
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)  # degenerate dropped
+
+    sh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(docs, max_hamming=10, max_bucket_size=100).collect()
+    }
+    assert (1000, 1001) in sh_pairs
+    assert not any(a < 1000 and b < 1000 for a, b in sh_pairs)
+
+
+def test_simhash_band_pigeonhole_recall(spark) -> None:
+    """With bands = max_hamming + 1, every pair within the Hamming budget
+    MUST be produced as a candidate (pigeonhole guarantee) — verified
+    against a brute-force Hamming scan."""
+    from islamic_ner_spark.operators.dedup import simhash_band_specs, simhash_signatures
+
+    specs = simhash_band_specs(7)
+    assert sum(w for _, w in specs) == 64
+    assert [s for s, _ in specs] == [0, 10, 19, 28, 37, 46, 55]
+
+    rows = [(i, " ".join(BASE.split()[: 5 + (i % 20)]) + f" tail{i % 7}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+
+    max_h = 6
+    expected = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= max_h:
+                expected.add((a, b))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(docs, max_hamming=max_h).collect()
+    }
+    assert got == expected and expected  # exact, and the scenario is non-trivial
