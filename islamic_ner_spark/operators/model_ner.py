@@ -37,17 +37,21 @@ LABELED_SCHEMA = (
 )
 
 
-def _predict_with_model(
-    model_dir: str, word_window: int, max_seq: int
-):  # pragma: no cover - requires transformers
-    """Per-executor model closure (loaded once per python worker)."""
-    import torch
-    from transformers import AutoModelForTokenClassification, AutoTokenizer
+def make_word_predictor(encode, id2label: dict, word_window: int, max_seq: int):
+    """Model-agnostic word-level labeling core (WordLevelNER,
+    scripts/build_graph.py:182-278): word windows of ``word_window``,
+    first-subword label per word, safety O-fallback for words the
+    (truncated) encoding never covers, BIO repair at the end.
 
-    tokenizer = AutoTokenizer.from_pretrained(model_dir)
-    model = AutoModelForTokenClassification.from_pretrained(model_dir)
-    model.eval()
-    id2label = model.config.id2label
+    ``encode(chunk) -> (word_ids, logits)`` abstracts the tokenizer +
+    forward pass: ``word_ids`` maps each encoded token position to its
+    source word index (None for special tokens) truncated at ``max_seq``
+    positions, ``logits`` is a float ndarray [n_tokens, n_labels].
+    Separated from the transformers stack so the chunking logic is
+    executable (and unit-tested with a deterministic fake) even where
+    torch is not installed.
+    """
+    import numpy as np
 
     from islamic_ner_spark.functions.annotate import normalize_label, repair_bio
 
@@ -56,19 +60,15 @@ def _predict_with_model(
         confidences = [0.0] * len(words)
         for chunk_start in range(0, len(words), word_window):
             chunk = words[chunk_start : chunk_start + word_window]
-            encoded = tokenizer(
-                chunk,
-                is_split_into_words=True,
-                return_tensors="pt",
-                truncation=True,
-                max_length=max_seq,
-            )
-            with torch.no_grad():
-                logits = model(**encoded).logits[0]
-                probabilities = torch.softmax(logits, dim=-1)
-                prediction_ids = torch.argmax(logits, dim=-1)
+            word_ids, logits = encode(chunk)
+            word_ids = list(word_ids)[:max_seq]
+            logits = np.asarray(logits, dtype=np.float64)[:max_seq]
+            # softmax over the label axis for per-token confidence
+            shifted = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            probabilities = shifted / shifted.sum(axis=-1, keepdims=True)
+            prediction_ids = logits.argmax(axis=-1)
             seen = set()
-            for token_index, word_id in enumerate(encoded.word_ids(batch_index=0)):
+            for token_index, word_id in enumerate(word_ids):
                 if word_id is None or word_id in seen or word_id >= len(chunk):
                     continue
                 seen.add(word_id)
@@ -82,6 +82,33 @@ def _predict_with_model(
         return repair_bio(labels), confidences
 
     return predict
+
+
+def _predict_with_model(
+    model_dir: str, word_window: int, max_seq: int
+):  # pragma: no cover - requires transformers
+    """Per-executor model closure (loaded once per python worker)."""
+    import torch
+    from transformers import AutoModelForTokenClassification, AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_dir)
+    model = AutoModelForTokenClassification.from_pretrained(model_dir)
+    model.eval()
+    id2label = model.config.id2label
+
+    def encode(chunk: List[str]):
+        encoded = tokenizer(
+            chunk,
+            is_split_into_words=True,
+            return_tensors="pt",
+            truncation=True,
+            max_length=max_seq,
+        )
+        with torch.no_grad():
+            logits = model(**encoded).logits[0]
+        return encoded.word_ids(batch_index=0), logits.numpy()
+
+    return make_word_predictor(encode, id2label, word_window, max_seq)
 
 
 def model_ner_labels(
