@@ -1,9 +1,10 @@
-"""Dataset statistics and training-set shaping (A7-A10, P12).
+"""Dataset statistics and training-set shaping (A7-A10, P12, E2).
 
 Parity targets: label-distribution / entity-count reporting
 (generate_silver_data.py:261-292), training filters (:294-299),
-seeded split (:545-561), and class-target oversampling
-(boost_silver_data.py:355-422).
+seeded split (:545-561), class-target oversampling
+(boost_silver_data.py:355-422), and the gold-annotation BIO validity
+workflow (gold_annotation.py:153-210) as a distributed scan.
 """
 
 from __future__ import annotations
@@ -53,6 +54,79 @@ def training_filter(
     )
 
 
+def validate_bio_dataset(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    labels_col: str = "labels",
+) -> DataFrame:
+    """Per-record BIO validity errors as a distributed scan — the
+    reference's gold-annotation validation workflow
+    (gold_annotation.py:153-210) without the driver-side JSON loop.
+
+    Emits only invalid records, each with an ``bio_errors`` array whose
+    messages mirror the reference's: unknown tags, I- continuations
+    without a same-type B/I predecessor (an invalid predecessor resets
+    the state to O, exactly like validate_bio_sequence), and token/tag
+    length mismatches.  Pure column expressions — whole-stage codegen,
+    no Python in the scan.
+    """
+    from islamic_ner_spark.functions.annotate import ENTITY_TYPES
+
+    tag_pattern = "^(B|I)-(" + "|".join(sorted(ENTITY_TYPES)) + ")$"
+    labels = F.col(labels_col)
+
+    def is_valid(tag):
+        return (tag == "O") | tag.rlike(tag_pattern)
+
+    def err_at(i):
+        tag = F.element_at(labels, i + 1)
+        prev_raw = F.when(i > 0, F.element_at(labels, i)).otherwise(F.lit("START"))
+        # an invalid (or absent) predecessor resets the state machine to O
+        prev_eff = F.when(
+            (i > 0) & is_valid(F.element_at(labels, i)), F.element_at(labels, i)
+        ).otherwise(F.lit("O"))
+        bad_continuation = tag.startswith("I-") & (
+            (prev_eff == "O")
+            | (F.substring_index(prev_eff, "-", -1) != F.substring_index(tag, "-", -1))
+        )
+        return (
+            F.when(
+                ~is_valid(tag),
+                F.format_string("invalid tag '%s' at token_index=%d", tag, i),
+            )
+            .when(
+                bad_continuation,
+                F.format_string(
+                    "invalid I- continuation '%s' at token_index=%d; "
+                    "previous tag was '%s'",
+                    tag, i, prev_raw,
+                ),
+            )
+        )
+
+    indices = F.sequence(F.lit(0), F.size(labels) - F.lit(1))
+    tag_errors = F.filter(
+        F.transform(indices, err_at), lambda e: e.isNotNull()
+    )
+    mismatch = F.size(tokens_col) != F.size(labels)
+    errors = F.when(
+        mismatch,
+        F.array(
+            F.format_string(
+                "token/tag length mismatch: %d tokens vs %d tags",
+                F.size(tokens_col), F.size(labels),
+            )
+        ),
+    ).otherwise(F.when(F.size(labels) > 0, tag_errors).otherwise(F.array().cast("array<string>")))
+
+    return (
+        df.withColumn("bio_errors", errors)
+        .where(F.size("bio_errors") > 0)
+        .withColumn("n_errors", F.size("bio_errors"))
+    )
+
+
 def seeded_split(
     df: DataFrame, weights: Sequence[float] = (0.8, 0.1, 0.1), seed: int = 42
 ) -> List[DataFrame]:
@@ -66,6 +140,7 @@ def oversample_to_targets(
     *,
     labels_col: str = "labels",
     seed: int = 42,
+    max_candidates: int = 2_000_000,
 ) -> DataFrame:
     """Class-target oversampling (A8, boost_silver_data.py:355-422).
 
@@ -109,12 +184,24 @@ def oversample_to_targets(
     for entity_type, threshold in targets.items():
         if current[entity_type] >= threshold:
             continue
-        cands = [
-            (int(r["_rid"]), int(r["y"]))
-            for r in yields.select("_rid", F.col("_yield").getItem(entity_type).alias("y"))
-            .where(F.col("y") > 0)
-            .collect()
-        ]
+        cand_df = yields.select(
+            "_rid", F.col("_yield").getItem(entity_type).alias("y")
+        ).where(F.col("y") > 0)
+        # the greedy multiplicity plan is a sequential driver decision
+        # (mirroring the reference), so the candidate list crosses to the
+        # driver — bounded: beyond max_candidates keep the highest-yield
+        # records (the ones the greedy loop would pick first) and log it
+        n_cand = cand_df.limit(max_candidates + 1).count()
+        if n_cand > max_candidates:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "oversample_to_targets(%s): capping candidate collect at "
+                "%d highest-yield records (more exist)",
+                entity_type, max_candidates,
+            )
+            cand_df = cand_df.orderBy(F.desc("y"), F.asc("_rid")).limit(max_candidates)
+        cands = [(int(r["_rid"]), int(r["y"])) for r in cand_df.collect()]
         if not cands:
             continue
         rng = random.Random(seed)

@@ -118,3 +118,63 @@ def test_span_prf_python_and_df(spark) -> None:
     )
     df_scores = span_prf_df(gold_df, pred_df)
     assert df_scores["matched"] == 2 and df_scores["gold"] == 3 and df_scores["pred"] == 3
+
+
+def test_validate_bio_dataset_distributed(spark) -> None:
+    """Distributed BIO validity scan mirrors gold_annotation.py:153-210."""
+    from islamic_ner_spark.operators.stats import validate_bio_dataset
+
+    rows = [
+        ("ok", ["t1", "t2", "t3"], ["B-SCHOLAR", "I-SCHOLAR", "O"]),
+        ("orphan_i", ["t1", "t2"], ["O", "I-BOOK"]),
+        ("type_switch", ["t1", "t2"], ["B-SCHOLAR", "I-BOOK"]),
+        ("bad_tag", ["t1", "t2"], ["B-XYZ", "I-XYZ"]),
+        ("after_invalid", ["t1", "t2"], ["B-XYZ", "I-SCHOLAR"]),
+        ("mismatch", ["t1", "t2", "t3"], ["O", "O"]),
+        ("empty", [], []),
+    ]
+    df = spark.createDataFrame(
+        rows, "rec string, tokens array<string>, labels array<string>"
+    )
+    got = {r["rec"]: list(r["bio_errors"]) for r in validate_bio_dataset(df).collect()}
+
+    assert "ok" not in got and "empty" not in got
+    assert got["orphan_i"] == [
+        "invalid I- continuation 'I-BOOK' at token_index=1; previous tag was 'O'"
+    ]
+    assert got["type_switch"] == [
+        "invalid I- continuation 'I-BOOK' at token_index=1; previous tag was 'B-SCHOLAR'"
+    ]
+    # invalid tags error, and reset the state machine -> the following
+    # I- is an orphan even though a tag precedes it
+    assert got["bad_tag"] == [
+        "invalid tag 'B-XYZ' at token_index=0",
+        "invalid tag 'I-XYZ' at token_index=1",
+    ]
+    assert got["after_invalid"] == [
+        "invalid tag 'B-XYZ' at token_index=0",
+        "invalid I- continuation 'I-SCHOLAR' at token_index=1; previous tag was 'B-XYZ'",
+    ]
+    assert got["mismatch"] == ["token/tag length mismatch: 3 tokens vs 2 tags"]
+
+
+def test_oversample_candidate_cap(spark) -> None:
+    """The candidate collect is bounded; capped runs still hit targets."""
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.operators.stats import oversample_to_targets
+
+    rows = [
+        (f"c{i}", ["t"] * 6, ["B-SCHOLAR", "O", "O", "O", "O", "O"])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, tokens array<string>, labels array<string>"
+    )
+    boosted = oversample_to_targets(
+        df, {"SCHOLAR": 80}, max_candidates=10
+    )
+    n_scholar = boosted.select(
+        F.explode("labels").alias("l")
+    ).where(F.col("l") == "B-SCHOLAR").count()
+    assert n_scholar >= 80
