@@ -1,18 +1,21 @@
 """Driver-facing query catalog over /root/testdata tables.
 
-Two families:
+Every entry is DuckDB-oracled (20/20), in two styles:
 
-* **SQL-oracled** queries (DuckDB-checkable): the engine's scalar/text
-  layer (normalization, tokenization, dedup, language/quality scoring,
+* **Direct SQL-oracled** queries: the engine's scalar/text layer
+  (normalization, tokenization, dedup, language/quality scoring,
   fingerprints), windowed sessionization, joins/aggregations, and
-  embedding similarity — each paired with an ANSI-SQL oracle in
-  ``ORACLE_SQL``.  Numeric outputs are integers/strings/exact decimals so
+  embedding similarity — the oracle runs the same ANSI SQL over the
+  source tables.  Numeric outputs are integers/strings/exact decimals so
   value hashes cannot drift on floating-point representation.
-* **KG pipeline** queries (rows-only checks): the full NER -> triples ->
-  linking -> graph dataflow over transcripts synthesized deterministically
-  *from the documents table* (doc_id seeds the conversation) — DuckDB
-  cannot run Aho-Corasick/BFS, so these are covered by the pytest parity
-  gates instead.
+* **Staged-kernel** queries (KG pipeline, near-dup, ANN): DuckDB cannot
+  run the Python kernels (Aho-Corasick, SequenceMatcher, blake2b
+  hashing), so each query stages its kernel outputs to parquet
+  (plans/staging.py) and BOTH engines compute the relational tail —
+  MERGE aggregation, canonicalization, connected components (recursive
+  CTE on the oracle side), banding, ranking — from the same files.
+  Kernel semantics themselves are gated by the pytest reference-parity
+  fuzz suites.
 """
 
 from __future__ import annotations
