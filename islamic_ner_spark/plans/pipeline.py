@@ -68,9 +68,25 @@ class GraphBuildResult:
     nodes: DataFrame
     edges: DataFrame
     persisted: list = None  # cached intermediates, released via unpersist()
+    extracted: DataFrame = None  # cached (conv, turn, doc, mentions, triples)
 
     def stats(self) -> dict:
         return graph_stats(self.nodes, self.edges)
+
+    def metrics(self) -> dict:
+        """Per-stage row counts — the in-memory counterpart of the
+        ``work_dir`` path's ``_manifest.json`` lineage records (computed
+        on demand from the cached intermediates, so the counts cost
+        cache scans, not recomputation)."""
+        turns_df = self.extracted if self.extracted is not None else self.annotated
+        return {
+            "turns": turns_df.count(),
+            "mentions": self.mentions.count(),
+            "triples": self.triples.count(),
+            "resolution_strings": self.resolution.count(),
+            "nodes": self.nodes.count(),
+            "edges": self.edges.count(),
+        }
 
     def unpersist(self) -> None:
         """Release every intermediate this build cached — required by
@@ -445,4 +461,5 @@ def _build_from_annotated(
         nodes=nodes,
         edges=edges,
         persisted=persisted,
+        extracted=extracted,
     )

@@ -80,18 +80,28 @@ def start_graph_stream(
     *,
     available_now: bool = False,
     max_files_per_trigger: int = 16,
+    n_buckets: int = 64,
 ) -> StreamingQuery:
     """Continuously maintained graph: per micro-batch, build the batch's
     subgraph and MERGE it into the persistent nodes/edges tables.
 
-    ``foreachBatch`` gives at-least-once batch delivery; both MERGEs are
-    idempotent under replay (edge: max confidence / first non-empty
-    evidence keeps replayed rows absorbed; node: the replayed batch's
-    variants are already in the union — only ``mention_count`` would
-    double-count on a replay after a successful swap, which the
-    batch-id high-watermark below prevents).  Each table update is an
-    atomic directory swap (write to tmp, rename), so a crash mid-update
-    leaves the previous snapshot intact.
+    **Bucketed incremental MERGE** — the persistent tables are hash-
+    partitioned on their MERGE keys (``bucket = xxhash64(key) % n``), and
+    a micro-batch reads, merges, and rewrites ONLY the buckets its keys
+    touch.  Per-batch cost is O(touched buckets), not O(graph): at
+    10^12-turn scale a micro-batch touches a bounded key set while the
+    accumulated graph grows without bound, so a full read-merge-rewrite
+    would degrade linearly in graph age.  (Iceberg ``MERGE INTO`` is the
+    managed-table form of the same idea; sources/tables.py documents the
+    swap-in.)
+
+    Exactly-once at bucket granularity: each bucket directory carries a
+    ``_batch.json`` watermark written INTO the staged content before the
+    directory swap, so a crash anywhere mid-commit leaves every bucket
+    either fully old or fully new+marked; a replay (foreachBatch is
+    at-least-once) re-merges only the buckets whose watermark is stale.
+    ``_recover`` finishes or rolls back any interrupted swap from the
+    staged/backup directories before the next merge reads the table.
 
     Incremental-linking semantics: "new"-entity canonicalization is
     joint WITHIN a batch but not across batches (a later batch cannot
@@ -105,6 +115,7 @@ def start_graph_stream(
     from pyspark.sql import functions as F
 
     from islamic_ner_spark.operators.graph import (
+        EDGE_KEY,
         merge_edges_incremental,
         merge_nodes_incremental,
     )
@@ -114,37 +125,105 @@ def start_graph_stream(
     graph_path.mkdir(parents=True, exist_ok=True)
     marker = graph_path / "_last_batch.json"
 
-    def swap_in(df, name: str) -> None:
+    edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(n_buckets)).cast("int")
+    node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(n_buckets)).cast("int")
+
+    def _bucket_dir(table_dir: Path, k: int) -> Path:
+        return table_dir / f"bucket={k}"
+
+    def _bucket_watermark(table_dir: Path, k: int) -> int:
+        meta = _bucket_dir(table_dir, k) / "_batch.json"
+        try:
+            return int(json.loads(meta.read_text())["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _recover(table_dir: Path) -> None:
+        """Finish/undo an interrupted per-bucket swap.  ``_swap_K`` holds
+        complete new content (marker included) not yet renamed into
+        place; ``_backup_K`` holds the displaced old content.  A missing
+        final dir is restored from swap (preferred: already merged) or
+        backup; leftovers are discarded."""
+        if not table_dir.exists():
+            return
+        for staged in table_dir.glob("_swap_*"):
+            k = staged.name.rsplit("_", 1)[1]
+            final = table_dir / f"bucket={k}"
+            if not final.exists():
+                staged.rename(final)
+            else:
+                shutil.rmtree(staged, ignore_errors=True)
+        for backup in table_dir.glob("_backup_*"):
+            k = backup.name.rsplit("_", 1)[1]
+            final = table_dir / f"bucket={k}"
+            if not final.exists():
+                backup.rename(final)
+            else:
+                shutil.rmtree(backup, ignore_errors=True)
+
+    def _merge_table(name: str, new_df, bucket_col, merge_fn, batch_id: int) -> None:
+        table_dir = graph_path / name
+        _recover(table_dir)
+        new_df = new_df.withColumn("bucket", bucket_col).persist()
+        touched = sorted(
+            r["bucket"] for r in new_df.select("bucket").distinct().collect()
+        )
+        pending = [
+            k for k in touched if _bucket_watermark(table_dir, k) < batch_id
+        ]
+        if not pending:
+            new_df.unpersist()
+            return
+        new_pending = new_df.where(F.col("bucket").isin(pending))
+        existing_dirs = [
+            str(_bucket_dir(table_dir, k))
+            for k in pending
+            if _bucket_dir(table_dir, k).exists()
+        ]
+        if existing_dirs:
+            existing = spark.read.option("basePath", str(table_dir)).parquet(
+                *existing_dirs
+            )
+            merged = merge_fn(existing, new_pending).withColumn("bucket", bucket_col)
+        else:
+            merged = new_pending
+
         tmp = graph_path / f"_{name}_tmp"
-        final = graph_path / name
-        df.write.mode("overwrite").parquet(str(tmp))
-        if final.exists():
-            shutil.rmtree(final)
-        tmp.rename(final)
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(str(tmp))
+
+        table_dir.mkdir(parents=True, exist_ok=True)
+        for k in pending:
+            produced = tmp / f"bucket={k}"
+            if not produced.exists():  # defensive: no rows for this bucket
+                continue
+            # marker travels inside the staged content => content and
+            # watermark become visible in the same rename
+            (produced / "_batch.json").write_text(json.dumps({"batch_id": batch_id}))
+            staged = table_dir / f"_swap_{k}"
+            shutil.rmtree(staged, ignore_errors=True)
+            produced.rename(staged)
+            final = _bucket_dir(table_dir, k)
+            backup = table_dir / f"_backup_{k}"
+            shutil.rmtree(backup, ignore_errors=True)
+            if final.exists():
+                final.rename(backup)
+            staged.rename(final)
+            shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_df.unpersist()
 
     def process_batch(batch_df, batch_id: int) -> None:
         if marker.exists() and json.loads(marker.read_text())["batch_id"] >= batch_id:
-            return  # replayed batch already merged (post-swap crash)
+            return  # replayed batch fully committed previously
         if not batch_df.take(1):
             return
         result = build_graph(spark, batch_df)
-        new_edges = result.edges.persist()
-        new_nodes = result.nodes.persist()
-        edges_dir, nodes_dir = graph_path / "edges", graph_path / "nodes"
-        if edges_dir.exists():
-            merged_edges = merge_edges_incremental(
-                spark.read.parquet(str(edges_dir)), new_edges
-            )
-            merged_nodes = merge_nodes_incremental(
-                spark.read.parquet(str(nodes_dir)), new_nodes
-            )
-        else:
-            merged_edges, merged_nodes = new_edges, new_nodes
-        swap_in(merged_edges, "edges")
-        swap_in(merged_nodes, "nodes")
+        _merge_table("edges", result.edges, edge_bucket,
+                     merge_edges_incremental, batch_id)
+        _merge_table("nodes", result.nodes, node_bucket,
+                     merge_nodes_incremental, batch_id)
         marker.write_text(json.dumps({"batch_id": batch_id}))
-        new_edges.unpersist()
-        new_nodes.unpersist()
         result.unpersist()
 
     transcripts = (

@@ -235,3 +235,17 @@ def test_workdir_resume_crash_between_commit_and_manifest(spark, tmp_path) -> No
         map(tuple, r2.edges.select("pred", "src_key", "tgt_key", "source_hadith").collect())
     )
     assert edges_1 == edges_2
+
+
+def test_in_memory_metrics(spark) -> None:
+    """metrics() reports per-stage row counts from the cached
+    intermediates — the in-memory counterpart of _manifest.json."""
+    transcripts = synthetic_transcripts(spark, 10, turns_per_conv=4)
+    result = build_graph(spark, transcripts)
+    m = result.metrics()
+    assert m["turns"] == 40
+    assert m["triples"] == result.triples.count() > 0
+    assert m["mentions"] >= m["triples"]
+    assert m["nodes"] == result.nodes.count() > 0
+    assert m["edges"] == result.edges.count() > 0
+    assert m["resolution_strings"] > 0
