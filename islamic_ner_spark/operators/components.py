@@ -106,26 +106,28 @@ def connected_components(
     Size-adaptive: edge sets under ``local_threshold`` rows are solved
     with driver-side union-find (identical result, none of the per-round
     shuffle/job overhead); larger graphs run the iterative
-    large-star/small-star rounds.  The strategy probe is a COUNT over the
-    checkpointed edges — only a scalar crosses to the driver; edge rows
-    are shipped (at most ``local_threshold`` of them) only once the count
-    has proven the graph small enough for the local solve.
+    large-star/small-star rounds.  Probing is two-tier: one bounded
+    ``limit(100k).collect()`` job serves the common small case directly
+    (≤ ~10 MB to the driver AND it already delivered the data), and only
+    graphs past that bound pay the checkpoint, where a COUNT — a scalar,
+    no row shipping — decides between local solve and the distributed
+    rounds.  No code path ever ships more than ``local_threshold`` rows.
     """
     spark = edges.sparkSession
-    current = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        # materialize once: both strategies re-consume the deduped edges
-        # (the distributed rounds needed this checkpoint anyway), and the
-        # probe count then reads executor-local blocks instead of
-        # re-running the upstream lineage
-        .localCheckpoint(eager=True)
-    )
+    current = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
 
-    n_edges = current.limit(local_threshold + 1).count()
-    if n_edges == 0:
+    fast_cap = min(100_000, local_threshold)
+    probe = current.limit(fast_cap + 1).collect()
+    if not probe:
         return spark.createDataFrame([], "node string, component string")
+    if len(probe) <= fast_cap:
+        return _local_components(spark, probe)
+
+    # materialize once: both remaining strategies re-consume the deduped
+    # edges (the distributed rounds needed this checkpoint anyway), and
+    # the count then reads executor-local blocks
+    current = current.localCheckpoint(eager=True)
+    n_edges = current.limit(local_threshold + 1).count()
     if n_edges <= local_threshold:
         return _local_components(spark, current.collect())
 

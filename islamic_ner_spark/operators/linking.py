@@ -107,20 +107,24 @@ def new_pair_edges(
     ).where(F.col("block_n") <= max_block_size).drop("block_n")
 
     if log_dropped:
-        hot = (
+        # ONE driver job: top-6 over-capacity blocks (len>5 => "more exist")
+        hot_rows = (
             blocked.groupBy("entity_type", "block_token")
             .agg(F.count(F.lit(1)).alias("block_n"))
             .where(F.col("block_n") > max_block_size)
+            .orderBy(F.desc("block_n"))
+            .take(6)
         )
-        hot_rows = hot.orderBy(F.desc("block_n")).take(5)
         if hot_rows:
             import logging
 
             logging.getLogger(__name__).warning(
-                "new-entity blocking dropped %d over-capacity block token(s) "
-                "(> %d strings each); largest: %s",
-                hot.count(), max_block_size,
-                [(r["entity_type"], r["block_token"], r["block_n"]) for r in hot_rows],
+                "new-entity blocking dropped over-capacity block token(s) "
+                "(> %d strings each); largest%s: %s",
+                max_block_size,
+                " (more exist)" if len(hot_rows) > 5 else "",
+                [(r["entity_type"], r["block_token"], r["block_n"])
+                 for r in hot_rows[:5]],
             )
 
     pairs = (
