@@ -244,6 +244,51 @@ def near_duplicate_groups(
     )
 
 
+def jaccard_scores(
+    candidate_pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-Jaccard of candidate pairs as an INTEGER score
+    (``jaccard_x1e6 = |A∩B| * 10^6 // |A∪B|``) — engine-exact, so an
+    independent SQL implementation over the same texts produces
+    bit-identical values.  Shingle semantics: distinct ``shingle_k``-char
+    substrings; texts shorter than ``shingle_k`` contribute themselves
+    as their only shingle (empty texts contribute nothing and score 0
+    against everything)."""
+    texts = df.select(F.col(id_col).alias("vid"), F.col(text_col).alias("vtext"))
+    with_texts = (
+        candidate_pairs.join(texts, candidate_pairs["id_a"] == texts["vid"])
+        .select("id_a", "id_b", F.col("vtext").alias("text_a"))
+        .join(texts, F.col("id_b") == texts["vid"])
+        .select("id_a", "id_b", "text_a", F.col("vtext").alias("text_b"))
+    )
+
+    def shingles(text: str) -> set:
+        text = text or ""
+        if not text:
+            return set()
+        if len(text) < shingle_k:
+            return {text}
+        return {text[i : i + shingle_k] for i in range(len(text) - shingle_k + 1)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            scores = []
+            for ta, tb in zip(batch["text_a"], batch["text_b"]):
+                sa, sb = shingles(ta), shingles(tb)
+                union = len(sa | sb)
+                scores.append(len(sa & sb) * 1_000_000 // union if union else 0)
+            out = batch[["id_a", "id_b"]].copy()
+            out["jaccard_x1e6"] = scores
+            yield out
+
+    return with_texts.mapInPandas(run, schema="id_a long, id_b long, jaccard_x1e6 long")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -176,6 +176,78 @@ def topk_from_candidates(
     return _rank_topk(_score(pairs), k)
 
 
+def embedding_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Unordered candidate pairs (id_a < id_b) from a hyperplane
+    signature table — corpus self-join on shared band buckets."""
+    return (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_pair_scores(emb: DataFrame, pairs: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine (x1e6, integer) for explicit (id_a, id_b) pairs."""
+    corpus = _with_norm(emb, id_col, vec_col)
+    a = corpus.select(F.col("vid").alias("id_a"), F.col("vec").alias("qvec"),
+                      F.col("nrm").alias("qnrm"))
+    b = corpus.select(F.col("vid").alias("id_b"), "vec", "nrm")
+    dot = F.aggregate(
+        F.zip_with("qvec", "vec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(dot / (F.col("qnrm") * F.col("nrm")) * 1e6).cast("long")
+            .alias("cos_x1e6"),
+        )
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1e6: int = 800_000,
+    n_planes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate grouping: hyperplane-LSH candidate
+    pairs -> exact cosine re-score (integer x1e6, engine-exact) ->
+    connected components.  Returns (id, group) with group = the cluster's
+    min id (lexicographic on the string key, matching the other near-dup
+    operators); singletons omitted.  Never all-pairs: candidate count is
+    bounded by bucket co-occupancy, tunable via (n_planes, bands)."""
+    sigs = hyperplane_signatures(
+        emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, bands=bands, seed=seed
+    )
+    candidates = embedding_candidate_pairs(sigs)
+    scored = cosine_pair_scores(emb, candidates, id_col=id_col, vec_col=vec_col)
+    edges = scored.where(F.col("cos_x1e6") >= threshold_x1e6).select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    from islamic_ner_spark.operators.components import connected_components
+
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").cast("long").alias("id"),
+        F.col("component").cast("long").alias("group"),
+    )
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame) -> float:
     """Recall of the approximate neighbor set vs the exact one."""
     hits = approx.select("qid", "nid").intersect(exact.select("qid", "nid")).count()

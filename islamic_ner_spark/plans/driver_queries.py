@@ -363,6 +363,47 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (5-char shingle) Jaccard over staged LSH candidate
+    pairs, as an integer score both engines compute bit-identically."""
+    from islamic_ner_spark.operators.dedup import jaccard_scores
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_dedup_stage(spark, sf_dir)
+    candidates = spark.read.parquet(staging.stage_path("dedup", "minhash_candidates"))
+    corpus = staging.documents_with_perturbed(spark, sf_dir)
+    return jaccard_scores(candidates, corpus).orderBy("id_a", "id_b")
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup grouping: staged hyperplane-LSH
+    candidates -> exact cosine (x1e6 integer) >= threshold -> connected
+    components."""
+    from islamic_ner_spark.operators.components import connected_components
+    from islamic_ner_spark.operators.similarity import (
+        cosine_pair_scores,
+        embedding_candidate_pairs,
+    )
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_ann_stage(spark, sf_dir)
+    sigs = spark.read.parquet(staging.stage_path("ann", "emb_neardup_sigs"))
+    candidates = embedding_candidate_pairs(sigs)
+    emb = staging.embeddings_with_perturbed(spark, sf_dir)
+    scored = cosine_pair_scores(emb, candidates)
+    edges = scored.where(
+        F.col("cos_x1e6") >= staging.EMBDUP_THRESHOLD_X1E6
+    ).select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").cast("long").alias("id"),
+        F.col("component").cast("long").alias("group"),
+    ).orderBy("id")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: band-bucket candidates from staged hyperplane signatures,
     exact cosine re-score of candidates only, per-query rank."""
@@ -432,6 +473,8 @@ QUERIES = {
     # training-data pipeline (staged kernels + SQL-oracled tail)
     "neardup_minhash": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
+    "neardup_jaccard": q_neardup_jaccard,
+    "neardup_embedding": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh_topk,
     "label_distribution": q_label_distribution,
 }
@@ -586,8 +629,10 @@ _SCORED = _staging.stage_glob("kg", "resolution_scored")
 _NEW_NODES = _staging.stage_glob("kg", "new_nodes")
 _NEW_PAIRS = _staging.stage_glob("kg", "new_pair_edges")
 _MINHASH_PAIRS = _staging.stage_glob("dedup", "minhash_pairs")
+_MINHASH_CANDS = _staging.stage_glob("dedup", "minhash_candidates")
 _SIMHASH_SIGS = _staging.stage_glob("dedup", "simhash_sigs")
 _ANN_SIGS = _staging.stage_glob("ann", "ann_sigs")
+_EMBDUP_SIGS = _staging.stage_glob("ann", "emb_neardup_sigs")
 
 
 def _components_ctes(pairs_cte: str) -> str:
@@ -736,6 +781,75 @@ ORACLE_SQL.update({
         SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
         FROM cand
         WHERE bit_count(xor(sig_a, sig_b)) <= {_staging.SIMHASH_MAX_HAMMING}
+    """,
+    "neardup_jaccard": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, substr(text, 13) AS text
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+            FROM corpus,
+                 UNNEST(range(1, CAST(greatest(length(text) - 4, 1) AS BIGINT) + 1))
+                     AS t(i)
+            WHERE length(text) > 0
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT id_a, id_b FROM read_parquet('{_MINHASH_CANDS}')),
+        inter AS (
+            SELECT p.id_a, p.id_b, COUNT(*) AS ni
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+            GROUP BY p.id_a, p.id_b
+        )
+        SELECT p.id_a, p.id_b,
+               COALESCE(i.ni, 0) * 1000000
+                   // (ca.n + cb.n - COALESCE(i.ni, 0)) AS jaccard_x1e6
+        FROM pairs p
+        JOIN counts ca ON ca.doc_id = p.id_a
+        JOIN counts cb ON cb.doc_id = p.id_b
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    """,
+    "neardup_embedding": f"""
+        WITH RECURSIVE
+        base AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
+            FROM embeddings
+        ),
+        allv AS (
+            SELECT vec_id, vec FROM base
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   [CASE WHEN i = 1 THEN vec[1] + 0.5 ELSE vec[i] END
+                    FOR i IN range(1, 65)]
+            FROM base
+        ),
+        nv AS (SELECT vec_id, vec, sqrt(list_sum([x * x FOR x IN vec])) AS nrm
+               FROM allv),
+        sig AS (SELECT * FROM read_parquet('{_EMBDUP_SIGS}')),
+        cand AS (
+            SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+            FROM sig a
+            JOIN sig b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                      AND a.vid < b.vid
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(round(list_sum([x.vec[i] * y.vec[i] FOR i IN range(1, 65)])
+                              / (x.nrm * y.nrm) * 1000000, 0) AS BIGINT) AS cos
+            FROM cand c
+            JOIN nv x ON c.id_a = x.vec_id
+            JOIN nv y ON c.id_b = y.vec_id
+        ),
+        {_components_ctes(f'''pairs AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM scored WHERE cos >= {_staging.EMBDUP_THRESHOLD_X1E6}
+        )''')}
+        SELECT CAST(node AS BIGINT) AS id, CAST(component AS BIGINT) AS "group"
+        FROM comp
     """,
     "ann_lsh_topk": f"""
         WITH sig AS (SELECT * FROM read_parquet('{_ANN_SIGS}')),

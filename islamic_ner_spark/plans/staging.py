@@ -26,7 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STAGE_VERSION = "r2-1"
+STAGE_VERSION = "r2-2"
 STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
 
 # shared query parameters (must match the paired ORACLE_SQL strings)
@@ -36,6 +36,9 @@ SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: full recall
 ANN_N_PLANES = 16
 ANN_BANDS = 8
 ANN_N_QUERIES = 20
+EMBDUP_N_PLANES = 32
+EMBDUP_BANDS = 8
+EMBDUP_THRESHOLD_X1E6 = 800_000  # perturbed twins score ~0.87-0.93; others < 0.52
 
 
 def stage_path(group: str, table: str) -> str:
@@ -85,6 +88,26 @@ def documents_with_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 13, 1_000_000).alias("text"),
     )
     return docs.unionByName(perturbed)
+
+
+def embeddings_with_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus a deterministic near-duplicate of each vector
+    (vec_id + 10^6, first component +0.5 on unit-norm vectors -> cosine
+    ~0.87-0.93 vs its twin, far above any original pair) — guarantees the
+    embedding near-dup operator has positive findings to verify.  The
+    construction is pure column arithmetic so the DuckDB oracle rebuilds
+    the identical table from the embeddings view."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.5)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(perturbed)
 
 
 def ensure_kg_stage(spark: SparkSession, sf_dir: str) -> None:
@@ -186,16 +209,17 @@ def ensure_dedup_stage(spark: SparkSession, sf_dir: str) -> None:
 
     corpus = documents_with_perturbed(spark, sf_dir)
     sigs = minhash_signatures(corpus)
-    verified = verify_jaccard_pairs(
-        lsh_candidate_pairs(sigs), corpus, threshold=MINHASH_THRESHOLD
-    )
+    candidates = _write(lsh_candidate_pairs(sigs), "dedup", "minhash_candidates")
+    verified = verify_jaccard_pairs(candidates, corpus, threshold=MINHASH_THRESHOLD)
     _write(verified.select("id_a", "id_b"), "dedup", "minhash_pairs")
     _write(simhash_signatures(corpus), "dedup", "simhash_sigs")
     _mark("dedup", sf_dir)
 
 
 def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
-    """Stage hyperplane-LSH signatures (``ann_sigs``) over embeddings."""
+    """Stage hyperplane-LSH signatures: ``ann_sigs`` over the embeddings
+    table (top-k search) and ``emb_neardup_sigs`` over the perturbed
+    corpus (near-duplicate grouping)."""
     if _is_current("ann", sf_dir):
         return
     _reset("ann")
@@ -206,5 +230,12 @@ def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
     _write(
         hyperplane_signatures(emb, n_planes=ANN_N_PLANES, bands=ANN_BANDS),
         "ann", "ann_sigs",
+    )
+    _write(
+        hyperplane_signatures(
+            embeddings_with_perturbed(spark, sf_dir),
+            n_planes=EMBDUP_N_PLANES, bands=EMBDUP_BANDS,
+        ),
+        "ann", "emb_neardup_sigs",
     )
     _mark("ann", sf_dir)

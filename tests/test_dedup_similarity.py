@@ -163,3 +163,67 @@ def test_simhash_band_pigeonhole_recall(spark) -> None:
         for r in simhash_near_duplicates(docs, max_hamming=max_h).collect()
     }
     assert got == expected and expected  # exact, and the scenario is non-trivial
+
+
+def test_embedding_near_duplicates(spark) -> None:
+    """Perturbed twins group together; unrelated vectors stay singletons."""
+    import math
+    import random
+
+    from islamic_ner_spark.operators.similarity import embedding_near_duplicates
+
+    rng = random.Random(11)
+
+    def unit(seed_vec):
+        nrm = math.sqrt(sum(x * x for x in seed_vec))
+        return [x / nrm for x in seed_vec]
+
+    rows = []
+    for vid in range(30):
+        v = unit([rng.gauss(0, 1) for _ in range(16)])
+        rows.append((vid, v))
+        # twin: tiny jitter on one component -> cosine ~0.999
+        w = list(v)
+        w[0] += 0.05
+        rows.append((vid + 1000, unit(w)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    groups = {
+        r["id"]: r["group"]
+        for r in embedding_near_duplicates(
+            emb, threshold_x1e6=990_000, n_planes=32, bands=16
+        ).collect()
+    }
+    paired = sum(1 for vid in range(30) if groups.get(vid) == groups.get(vid + 1000)
+                 and groups.get(vid) is not None)
+    assert paired >= 28  # LSH recall; random 16-dim gaussians never hit 0.99
+    # no cross-contamination: every group holds exactly one twin pair
+    from collections import Counter
+    sizes = Counter(groups.values())
+    assert all(size == 2 for size in sizes.values())
+
+
+def test_jaccard_scores_integer_parity(spark) -> None:
+    """jaccard_x1e6 == floor(verify_jaccard_pairs' float * 1e6) on the
+    same pairs (same shingle semantics, integer-exact arithmetic)."""
+    from islamic_ner_spark.operators.dedup import jaccard_scores, verify_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE.replace("lazy", "sleepy")), (2, "tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (2, 3)], "id_a long, id_b long")
+    ints = {
+        (r["id_a"], r["id_b"]): r["jaccard_x1e6"]
+        for r in jaccard_scores(pairs, docs).collect()
+    }
+    floats = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in verify_jaccard_pairs(pairs, docs, threshold=-1.0).collect()
+    }
+    assert ints[(0, 1)] > 800_000
+    assert ints[(2, 3)] == 0  # empty text scores 0 against everything
+    for key, val in ints.items():
+        if key == (2, 3):
+            continue  # verify_jaccard_pairs treats "" as {''}; documented diff
+        assert abs(val - floats[key] * 1_000_000) <= 1
