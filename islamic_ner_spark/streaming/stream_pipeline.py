@@ -71,6 +71,170 @@ def start_triples_stream(
     return writer.start()
 
 
+def windowed_mention_counts(
+    transcripts_stream: DataFrame,
+    gazetteer_bc: Broadcast,
+    *,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed mention counts with late-data handling.
+
+    Mentions are bucketed into tumbling event-time windows on the turn
+    timestamp; the watermark bounds how late a turn may arrive and still
+    be counted (later rows are dropped, the standard trade against
+    unbounded state).  In append mode a window's row is emitted exactly
+    once — when the watermark passes its end — so the parquet sink
+    receives each (window, entity_type) count exactly once.  State held
+    per trigger is O(open windows x entity types), independent of stream
+    length.
+    """
+    from pyspark.sql import functions as F
+
+    annotated = annotate_transcripts(transcripts_stream, gazetteer_bc)
+    mentions = annotated.select(
+        "ts", F.explode("mentions").alias("m")
+    ).select("ts", F.col("m.entity_type").alias("entity_type"))
+    return (
+        mentions.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "entity_type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "entity_type",
+            "n_mentions",
+        )
+    )
+
+
+def start_windowed_mention_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gazetteer_bc: Broadcast,
+    *,
+    available_now: bool = False,
+    max_files_per_trigger: int = 16,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> StreamingQuery:
+    """Windowed mention counts -> append-mode parquet sink (each closed
+    window lands exactly once; open windows stay pending in state)."""
+    counts = windowed_mention_counts(
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir),
+        gazetteer_bc,
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+    )
+    writer = (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+DEDUP_OUTPUT_SCHEMA = (
+    "content_hash string, doc_id long, text string"
+)
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-batch streaming exact dedup: the first document with a given
+    content hash passes, every later duplicate — in the same micro-batch
+    or any future one — is dropped.
+
+    Custom stateful operator via ``applyInPandasWithState``: state is one
+    boolean per distinct content hash (the minimal dedup memory), keyed
+    by ``md5(text)`` so state lookup is a hash-partitioned exact-match —
+    at 100 TB the state store shards across executors with the key space,
+    and skew is impossible (a hash key's group only ever holds
+    duplicates, which are dropped, not accumulated).
+    """
+    from typing import Any, Iterable, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    def dedup(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            # hash already emitted in an earlier batch: drop everything
+            for _ in batches:
+                pass
+            return
+        best: pd.DataFrame | None = None
+        for batch in batches:
+            if not len(batch):
+                continue
+            # deterministic winner: min doc_id across ALL of the group's
+            # pandas chunks in this batch
+            cand = batch.nsmallest(1, "doc_id")
+            if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+                best = cand
+        if best is not None:
+            state.update((True,))
+            yield best[["content_hash", "doc_id", "text"]]
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = False,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """documents stream -> first-copy-only stream (parquet sink)."""
+    deduped = stream_exact_dedup(
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_graph_stream(
     spark: SparkSession,
     input_dir: str,

@@ -96,3 +96,123 @@ def test_graph_stream_matches_batch(spark, tmp_path) -> None:
     )
     query2.awaitTermination(timeout=120)
     assert spark.read.parquet(f"{graph_dir}/edges").count() == before
+
+
+def test_windowed_mention_stream_matches_batch(spark, tmp_path) -> None:
+    """Event-time windowed mention counts with watermark: every window
+    closed by the final watermark is emitted exactly once and matches
+    the batch computation over the same input."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.streaming.stream_pipeline import (
+        start_windowed_mention_stream,
+        windowed_mention_counts,
+    )
+
+    import time as time_mod
+
+    input_dir = tmp_path / "in"
+    output_dir = str(tmp_path / "out")
+    checkpoint_dir = str(tmp_path / "ckpt")
+
+    transcripts = synthetic_transcripts(spark, 8, turns_per_conv=5)
+    # feed micro-batches in EVENT-TIME order (file source processes by
+    # modification time): rows later than the advancing watermark would
+    # otherwise be dropped as late data — which is the operator's
+    # documented behavior, but not what this equality test wants
+    bounds = sorted(r["ts"] for r in transcripts.select("ts").distinct().collect())
+    cuts = [bounds[len(bounds) // 4], bounds[len(bounds) // 2],
+            bounds[3 * len(bounds) // 4]]
+    import pyspark.sql.functions as SF
+    parts = [
+        transcripts.where(SF.col("ts") <= cuts[0]),
+        transcripts.where((SF.col("ts") > cuts[0]) & (SF.col("ts") <= cuts[1])),
+        transcripts.where((SF.col("ts") > cuts[1]) & (SF.col("ts") <= cuts[2])),
+        transcripts.where(SF.col("ts") > cuts[2]),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(input_dir / f"p{i}"))
+        time_mod.sleep(1.1)  # distinct mtimes => deterministic batch order
+    glob_dir = str(input_dir / "*")
+    gazetteer_bc = spark.sparkContext.broadcast(Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR))
+
+    kwargs = dict(
+        available_now=True, max_files_per_trigger=1,
+        window_duration="10 minutes", watermark_delay="1 minute",
+    )
+    q = start_windowed_mention_stream(
+        spark, glob_dir, output_dir, checkpoint_dir, gazetteer_bc, **kwargs
+    )
+    q.awaitTermination(timeout=180)
+    # restart with no new data: flushes windows closed by the final watermark
+    q2 = start_windowed_mention_stream(
+        spark, glob_dir, output_dir, checkpoint_dir, gazetteer_bc, **kwargs
+    )
+    q2.awaitTermination(timeout=120)
+
+    batch_in = spark.read.parquet(glob_dir)
+    expected_all = windowed_mention_counts(
+        batch_in, gazetteer_bc, window_duration="10 minutes", watermark_delay="1 minute"
+    )
+    max_ts = batch_in.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(minutes=1)
+    expected = {
+        (r["window_start"], r["window_end"], r["entity_type"]): r["n_mentions"]
+        for r in expected_all.collect()
+        if r["window_end"] <= watermark
+    }
+    got_rows = spark.read.parquet(output_dir).collect()
+    got = {
+        (r["window_start"], r["window_end"], r["entity_type"]): r["n_mentions"]
+        for r in got_rows
+    }
+    assert len(got_rows) == len(got)  # exactly-once per window
+    for key, n in expected.items():
+        assert got.get(key) == n, key
+    assert expected and set(expected).issubset(set(got))
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path) -> None:
+    """applyInPandasWithState dedup: first copy passes, later duplicates
+    (same batch or later batches) are dropped; restart is a no-op."""
+    from islamic_ner_spark.streaming.stream_pipeline import start_dedup_stream
+
+    input_dir = tmp_path / "in"
+    output_dir = str(tmp_path / "out")
+    checkpoint_dir = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    # file A: unique texts + an in-batch duplicate pair
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha"), (3, "gamma")], schema
+    ).coalesce(1).write.parquet(str(input_dir / "a"))
+    # file B (later batch): cross-batch duplicates + one new text
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, "delta")], schema
+    ).coalesce(1).write.parquet(str(input_dir / "b"))
+
+    glob_dir = str(input_dir / "*"
+                   )
+    q = start_dedup_stream(
+        spark, glob_dir, schema, output_dir, checkpoint_dir,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(timeout=120)
+
+    rows = spark.read.parquet(output_dir).collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    assert sorted(by_text) == ["alpha", "beta", "delta", "gamma"]
+    assert all(len(v) == 1 for v in by_text.values())  # one copy per content
+    assert by_text["delta"] == [12]
+
+    # replay/no-new-input restart emits nothing new
+    q2 = start_dedup_stream(
+        spark, glob_dir, schema, output_dir, checkpoint_dir,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(timeout=120)
+    assert spark.read.parquet(output_dir).count() == len(rows)
