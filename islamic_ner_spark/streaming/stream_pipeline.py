@@ -141,6 +141,35 @@ def start_windowed_mention_stream(
     return writer.start()
 
 
+def recover_bucket_swaps(table_dir) -> None:
+    """Finish/undo an interrupted per-bucket swap (see
+    :func:`start_graph_stream`).  ``_swap_K`` holds complete new content
+    (its ``_batch.json`` watermark included) not yet renamed into place;
+    ``_backup_K`` holds the displaced old content.  A missing final dir
+    is restored from swap (preferred: already merged + marked) or
+    backup; leftovers are discarded.  Idempotent."""
+    import shutil
+    from pathlib import Path
+
+    table_dir = Path(table_dir)
+    if not table_dir.exists():
+        return
+    for staged in table_dir.glob("_swap_*"):
+        k = staged.name.rsplit("_", 1)[1]
+        final = table_dir / f"bucket={k}"
+        if not final.exists():
+            staged.rename(final)
+        else:
+            shutil.rmtree(staged, ignore_errors=True)
+    for backup in table_dir.glob("_backup_*"):
+        k = backup.name.rsplit("_", 1)[1]
+        final = table_dir / f"bucket={k}"
+        if not final.exists():
+            backup.rename(final)
+        else:
+            shutil.rmtree(backup, ignore_errors=True)
+
+
 DEDUP_OUTPUT_SCHEMA = (
     "content_hash string, doc_id long, text string"
 )
@@ -302,32 +331,9 @@ def start_graph_stream(
         except (OSError, ValueError, KeyError):
             return -1
 
-    def _recover(table_dir: Path) -> None:
-        """Finish/undo an interrupted per-bucket swap.  ``_swap_K`` holds
-        complete new content (marker included) not yet renamed into
-        place; ``_backup_K`` holds the displaced old content.  A missing
-        final dir is restored from swap (preferred: already merged) or
-        backup; leftovers are discarded."""
-        if not table_dir.exists():
-            return
-        for staged in table_dir.glob("_swap_*"):
-            k = staged.name.rsplit("_", 1)[1]
-            final = table_dir / f"bucket={k}"
-            if not final.exists():
-                staged.rename(final)
-            else:
-                shutil.rmtree(staged, ignore_errors=True)
-        for backup in table_dir.glob("_backup_*"):
-            k = backup.name.rsplit("_", 1)[1]
-            final = table_dir / f"bucket={k}"
-            if not final.exists():
-                backup.rename(final)
-            else:
-                shutil.rmtree(backup, ignore_errors=True)
-
     def _merge_table(name: str, new_df, bucket_col, merge_fn, batch_id: int) -> None:
         table_dir = graph_path / name
-        _recover(table_dir)
+        recover_bucket_swaps(table_dir)
         new_df = new_df.withColumn("bucket", bucket_col).persist()
         touched = sorted(
             r["bucket"] for r in new_df.select("bucket").distinct().collect()

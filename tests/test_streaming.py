@@ -216,3 +216,40 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path) -> None:
     )
     q2.awaitTermination(timeout=120)
     assert spark.read.parquet(output_dir).count() == len(rows)
+
+
+def test_recover_bucket_swaps_crash_states(tmp_path) -> None:
+    """Every crash window of the per-bucket swap protocol recovers to a
+    consistent table: swap content (already merged + marked) is promoted
+    when the final dir is missing, displaced backups are restored only
+    when nothing newer exists, and leftovers are discarded."""
+    from islamic_ner_spark.streaming.stream_pipeline import recover_bucket_swaps
+
+    table = tmp_path / "edges"
+
+    def mk(name, payload):
+        d = table / name
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_text(payload)
+        return d
+
+    # crash between backup-rename and swap-promote: final missing,
+    # swap (new) + backup (old) both present -> promote swap, drop backup
+    mk("_swap_3", "new3")
+    mk("_backup_3", "old3")
+    # crash after staging but before displacing: final still present
+    # -> discard swap
+    mk("_swap_5", "staged5")
+    mk("bucket=5", "current5")
+    # crash between final-rename-to-backup and swap-rename (swap already
+    # consumed in a previous recovery): only backup left -> restore
+    mk("_backup_7", "old7")
+
+    recover_bucket_swaps(table)
+    recover_bucket_swaps(table)  # idempotent
+
+    listing = sorted(p.name for p in table.iterdir())
+    assert listing == ["bucket=3", "bucket=5", "bucket=7"]
+    assert (table / "bucket=3" / "part-0.parquet").read_text() == "new3"
+    assert (table / "bucket=5" / "part-0.parquet").read_text() == "current5"
+    assert (table / "bucket=7" / "part-0.parquet").read_text() == "old7"
