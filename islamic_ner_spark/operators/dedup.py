@@ -109,9 +109,14 @@ MAX_BUCKET_SIZE = 5_000
 def _cap_buckets(
     banded: DataFrame, key_cols: list[str], max_bucket_size: int | None, what: str
 ) -> DataFrame:
-    """Drop (and log) over-capacity LSH buckets — no silent caps."""
+    """Drop (and log) over-capacity LSH buckets — no silent caps.
+
+    ``banded`` is persisted here: the overflow check and the downstream
+    candidate self-join otherwise each re-run the signature kernel that
+    produced it (Spark's LRU reclaims the cache under pressure)."""
     if max_bucket_size is None:
         return banded
+    banded = banded.persist()
     from pyspark.sql import Window
 
     bucket_w = Window.partitionBy(*key_cols)

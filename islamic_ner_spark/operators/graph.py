@@ -591,15 +591,20 @@ def nodes_from_combined(combined: DataFrame, extracted: DataFrame) -> DataFrame:
 
 def merge_edges_incremental(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """Cross-batch MERGE (A4): confidence = max, evidence = first
-    non-empty, existing row wins ties (builder.py:427-435)."""
+    non-empty, existing row wins ties (builder.py:427-435).
+    ``merge_count`` accumulates across batches (old + new), so after any
+    partitioning of the input into batches it equals the one-shot batch
+    build's total writer count per edge — bucket/batch-history-invariant.
+    """
     e = existing.select(
         "pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith",
         F.col("confidence").alias("old_conf"), F.col("evidence").alias("old_ev"),
+        F.col("merge_count").alias("old_mc"),
     )
     i = incoming.select(
         "pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith",
         F.col("confidence").alias("new_conf"), F.col("evidence").alias("new_ev"),
-        "merge_count",
+        F.col("merge_count").alias("new_mc"),
     )
     key = ["pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith"]
     return (
@@ -612,7 +617,9 @@ def merge_edges_incremental(existing: DataFrame, incoming: DataFrame) -> DataFra
             F.when(
                 F.coalesce(F.col("old_ev"), F.lit("")) != "", F.col("old_ev")
             ).otherwise(F.coalesce("new_ev", F.lit(""))).alias("evidence"),
-            F.coalesce("merge_count", F.lit(0)).alias("merge_count"),
+            (
+                F.coalesce("old_mc", F.lit(0)) + F.coalesce("new_mc", F.lit(0))
+            ).alias("merge_count"),
         )
     )
 

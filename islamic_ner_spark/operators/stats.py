@@ -201,7 +201,12 @@ def oversample_to_targets(
                 entity_type, max_candidates,
             )
             cand_df = cand_df.orderBy(F.desc("y"), F.asc("_rid")).limit(max_candidates)
-        cands = [(int(r["_rid"]), int(r["y"])) for r in cand_df.collect()]
+        # deterministic base order before the seeded shuffle — a bare
+        # collect() returns partition/scheduling order, which would make
+        # equal-yield tie-breaks vary run to run despite the seed
+        cands = [
+            (int(r["_rid"]), int(r["y"])) for r in cand_df.orderBy("_rid").collect()
+        ]
         if not cands:
             continue
         rng = random.Random(seed)

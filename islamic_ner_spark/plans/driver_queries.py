@@ -806,11 +806,15 @@ ORACLE_SQL.update({
             GROUP BY p.id_a, p.id_b
         )
         SELECT p.id_a, p.id_b,
-               COALESCE(i.ni, 0) * 1000000
-                   // (ca.n + cb.n - COALESCE(i.ni, 0)) AS jaccard_x1e6
+               CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                         - COALESCE(i.ni, 0) > 0
+                    THEN COALESCE(i.ni, 0) * 1000000
+                         // (COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                             - COALESCE(i.ni, 0))
+                    ELSE 0 END AS jaccard_x1e6
         FROM pairs p
-        JOIN counts ca ON ca.doc_id = p.id_a
-        JOIN counts cb ON cb.doc_id = p.id_b
+        LEFT JOIN counts ca ON ca.doc_id = p.id_a
+        LEFT JOIN counts cb ON cb.doc_id = p.id_b
         LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
     """,
     "neardup_embedding": f"""

@@ -26,7 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STAGE_VERSION = "r2-2"
+STAGE_VERSION = "r2-3"
 STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
 
 # shared query parameters (must match the paired ORACLE_SQL strings)
@@ -208,7 +208,10 @@ def ensure_dedup_stage(spark: SparkSession, sf_dir: str) -> None:
     )
 
     corpus = documents_with_perturbed(spark, sf_dir)
-    sigs = minhash_signatures(corpus)
+    # signatures to parquet FIRST: candidate generation (and its bucket
+    # overflow check) then read the staged files instead of re-running
+    # the blake2b minhash kernel per consumer
+    sigs = _write(minhash_signatures(corpus), "dedup", "minhash_sigs")
     candidates = _write(lsh_candidate_pairs(sigs), "dedup", "minhash_candidates")
     verified = verify_jaccard_pairs(candidates, corpus, threshold=MINHASH_THRESHOLD)
     _write(verified.select("id_a", "id_b"), "dedup", "minhash_pairs")

@@ -318,6 +318,22 @@ def start_graph_stream(
     graph_path.mkdir(parents=True, exist_ok=True)
     marker = graph_path / "_last_batch.json"
 
+    # bucket assignment must never change across restarts of the same
+    # graph dir — a different n_buckets would rehash keys into buckets
+    # the merge never reconciles (silent row loss).  Pin it in a meta
+    # file and refuse a mismatched restart.
+    meta_file = graph_path / "_graph_meta.json"
+    if meta_file.exists():
+        stored = json.loads(meta_file.read_text()).get("n_buckets")
+        if stored != n_buckets:
+            raise ValueError(
+                f"graph dir {graph_dir} was built with n_buckets={stored}; "
+                f"restarting with n_buckets={n_buckets} would corrupt it — "
+                "pass the original value"
+            )
+    else:
+        meta_file.write_text(json.dumps({"n_buckets": n_buckets}))
+
     edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(n_buckets)).cast("int")
     node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(n_buckets)).cast("int")
 

@@ -42,11 +42,20 @@ def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     def _container_cpu_ns() -> int | None:
         # container-wide CPU accounting (the unwaited JVM's rusage never
-        # reaches this process, so getrusage cannot see it)
+        # reaches this process, so getrusage cannot see it); v1 cpuacct
+        # first, cgroup v2 unified cpu.stat as fallback
         try:
             return int(open("/sys/fs/cgroup/cpuacct/cpuacct.usage").read())
         except OSError:
-            return None
+            pass
+        for path in ("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/unified/cpu.stat"):
+            try:
+                for line in open(path):
+                    if line.startswith("usage_usec"):
+                        return int(line.split()[1]) * 1000
+            except OSError:
+                continue
+        return None
 
     before = _container_cpu_ns()
     out = subprocess.run(
@@ -92,13 +101,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "0") or 0)
 
+    workload = {
+        "sf_dir": sf_dir, "convs_per_doc": convs_per_doc,
+        "turns": turns, "n_small": n_small,
+    }
     results = {}
     # seed with a previous session's best legs so opportunistic re-runs
-    # (e.g. retries during quiet host windows) only ever improve BENCH.md
+    # (e.g. retries during quiet host windows) only ever improve BENCH.md.
+    # The seed carries a workload fingerprint: legs measured on a
+    # different input/shape must never enter the best-of comparison.
     seed_path = os.environ.get("SPARK_GRAFT_SEED_RESULTS")
     if seed_path and Path(seed_path).exists():
-        for cpus_str, run in json.loads(Path(seed_path).read_text()).items():
-            results[int(cpus_str)] = run
+        seed = json.loads(Path(seed_path).read_text())
+        if seed.get("_workload", workload) == workload:
+            for cpus_str, run in seed.items():
+                if not cpus_str.startswith("_"):
+                    results[int(cpus_str)] = run
+        else:
+            print(f"seed workload mismatch ({seed.get('_workload')}); ignoring seed")
 
     # legs alternate (N, 4N, N, 4N, ...) so the host's oscillating
     # external load (period ~minutes) hits both cluster sizes fairly;
@@ -136,9 +156,9 @@ def main() -> None:
     print(json.dumps(summary))
     # persist the merged bests so later opportunistic runs can seed
     (REPO / ".stage").mkdir(exist_ok=True)
-    (REPO / ".stage" / "scaling_best.json").write_text(
-        json.dumps({str(k): v for k, v in results.items()})
-    )
+    payload = {str(k): v for k, v in results.items()}
+    payload["_workload"] = workload
+    (REPO / ".stage" / "scaling_best.json").write_text(json.dumps(payload))
 
     bench_md = REPO / "BENCH.md"
     bench_md.write_text(

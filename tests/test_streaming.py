@@ -49,10 +49,11 @@ def test_graph_stream_matches_batch(spark, tmp_path) -> None:
     """Continuously maintained nodes/edges (foreachBatch incremental
     MERGE over multiple micro-batches) match the one-shot batch build.
 
-    name_ar depends on batch arrival order, and mention_count/merge
-    semantics are batch-scoped, so the comparison pins the
-    order-independent columns: edge keys + confidence/evidence, node
-    keys + variants + mention_count.
+    name_ar depends on batch arrival order, so the comparison pins the
+    order-independent columns: edge keys + confidence/evidence +
+    cumulative merge_count, node keys + variants + mention_count (both
+    counts accumulate across batches, so they equal the one-shot
+    totals under any batching).
     """
     from pyspark.sql import functions as F
 
@@ -77,7 +78,7 @@ def test_graph_stream_matches_batch(spark, tmp_path) -> None:
     batch = build_graph(spark, spark.read.parquet(input_dir))
 
     edge_cols = ["pred", "src_label", "src_key", "tgt_label", "tgt_key",
-                 "source_hadith", "confidence", "evidence"]
+                 "source_hadith", "confidence", "evidence", "merge_count"]
     streamed_edges = {tuple(r) for r in
                       spark.read.parquet(f"{graph_dir}/edges").select(edge_cols).collect()}
     batch_edges = {tuple(r) for r in batch.edges.select(edge_cols).collect()}
