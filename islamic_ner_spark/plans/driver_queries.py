@@ -893,7 +893,11 @@ ORACLE_SQL.update({
             SELECT UNNEST(labels) AS label FROM read_parquet('{_ANNOTATED}')
         ),
         counts AS (SELECT label, COUNT(*) AS n FROM lab GROUP BY label)
-        SELECT label, n, (n * 100000) // SUM(n) OVER () AS pct_x1000
+        -- CAST: the windowed SUM promotes DuckDB's // result to HUGEINT,
+        -- which breaks the dtype-sensitive value-hash even though the
+        -- values match Spark's BIGINT exactly (VERDICT r2 "What's wrong" #1).
+        SELECT label, n,
+               CAST((n * 100000) // SUM(n) OVER () AS BIGINT) AS pct_x1000
         FROM counts
     """,
 })
