@@ -95,6 +95,8 @@ def run_ner_text(text: str, gazetteer, *, return_tokens: bool = False) -> dict:
     from islamic_ner_spark.functions.annotate import annotate_raw
     from islamic_ner_spark.functions.normalize import normalize
 
+    from islamic_ner_spark.functions.annotate import repair_bio
+
     normalized = normalize(text or "")
     words, labels = annotate_raw(normalized, gazetteer, is_normalized=True)
     if not words:
@@ -104,10 +106,14 @@ def run_ner_text(text: str, gazetteer, *, return_tokens: bool = False) -> dict:
             "entities": [],
             "tokens": [] if return_tokens else None,
         }
+    # reference order (ner.py:145-188): confidences are assigned with the
+    # raw label paint (B=0.75 / I=0.7), THEN _repair_bio rewrites labels
+    # only — a repair-flipped orphan I- keeps its 0.7 confidence.
     confidences = [
         0.75 if l.startswith("B-") else 0.7 if l.startswith("I-") else 0.0
         for l in labels
     ]
+    labels = repair_bio(labels)
     offsets = word_offsets(normalized, words)
     entities = labels_to_entities(words, labels, offsets, confidences)
     tokens = None

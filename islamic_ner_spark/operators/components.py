@@ -143,3 +143,22 @@ def connected_components(
     members = current.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = current.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     return members.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def numeric_groups(comp: DataFrame) -> DataFrame:
+    """``(node, component)`` with string keys -> ``(id, group)`` longs,
+    where ``group`` is the NUMERIC min id of the cluster.
+
+    ``connected_components`` labels clusters with the *lexicographic*
+    min of the string node keys, so a cluster ``{2, 1000002}`` would get
+    component ``'1000002'`` (``'1' < '2'``) — surprising for a consumer
+    of a numeric group column.  This re-aggregates to the numeric min
+    with one window over the component key (tiny: one row per clustered
+    node)."""
+    from pyspark.sql import Window
+
+    nid = F.col("node").cast("long")
+    return comp.select(
+        nid.alias("id"),
+        F.min(nid).over(Window.partitionBy("component")).alias("group"),
+    )

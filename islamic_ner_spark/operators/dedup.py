@@ -107,16 +107,25 @@ MAX_BUCKET_SIZE = 5_000
 
 
 def _cap_buckets(
-    banded: DataFrame, key_cols: list[str], max_bucket_size: int | None, what: str
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+    what: str,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Drop (and log) over-capacity LSH buckets — no silent caps.
 
     ``banded`` is persisted here: the overflow check and the downstream
     candidate self-join otherwise each re-run the signature kernel that
-    produced it (Spark's LRU reclaims the cache under pressure)."""
+    produced it.  Pass ``persisted`` (a list the cache is appended to)
+    from long-running callers so they can ``unpersist()`` once the
+    candidate join has materialized — otherwise the cached blocks live
+    until Spark's LRU reclaims them."""
     if max_bucket_size is None:
         return banded
     banded = banded.persist()
+    if persisted is not None:
+        persisted.append(banded)
     from pyspark.sql import Window
 
     bucket_w = Window.partitionBy(*key_cols)
@@ -143,7 +152,11 @@ def _cap_buckets(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 16, max_bucket_size: int | None = MAX_BUCKET_SIZE
+    signatures: DataFrame,
+    *,
+    bands: int = 16,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band_id, band_hash); buckets
     above ``max_bucket_size`` are dropped with a logged warning."""
@@ -165,7 +178,9 @@ def lsh_candidate_pairs(
             ).alias("band_hash"),
         )
     )
-    banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket_size, "minhash-lsh")
+    banded = _cap_buckets(
+        banded, ["band_id", "band_hash"], max_bucket_size, "minhash-lsh", persisted
+    )
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -231,22 +246,29 @@ def near_duplicate_groups(
 ) -> DataFrame:
     """MinHash -> LSH bands -> exact-Jaccard verify -> components.
 
-    Returns (id, group) where group is the min doc id of the duplicate
-    cluster; singletons are omitted (nothing to deduplicate)."""
+    Returns (id, group) where group is the numeric min doc id of the
+    duplicate cluster; singletons are omitted (nothing to deduplicate)."""
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
     )
-    candidates = lsh_candidate_pairs(sigs, bands=bands, max_bucket_size=max_bucket_size)
+    caches: list = []
+    candidates = lsh_candidate_pairs(
+        sigs, bands=bands, max_bucket_size=max_bucket_size, persisted=caches
+    )
     verified = verify_jaccard_pairs(
         candidates, df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
     )
     edges = verified.select(
         F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst")
     )
+    from islamic_ner_spark.operators.components import numeric_groups
+
     comp = connected_components(edges)
-    return comp.select(
-        F.col("node").cast("long").alias("id"), F.col("component").cast("long").alias("group")
-    )
+    # connected_components materialized the edge set (probe collect /
+    # checkpoint), so the banded-signature cache is no longer referenced
+    for df_ in caches:
+        df_.unpersist()
+    return numeric_groups(comp)
 
 
 def jaccard_scores(
@@ -349,6 +371,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bands: int | None = None,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Candidate pairs via SimHash band buckets, verified exactly.
 
@@ -359,7 +382,8 @@ def simhash_near_duplicates(
         bands = max_hamming + 1
     sigs = simhash_signatures(df, id_col, text_col)
     return simhash_pairs_from_signatures(
-        sigs, max_hamming=max_hamming, bands=bands, max_bucket_size=max_bucket_size
+        sigs, max_hamming=max_hamming, bands=bands, max_bucket_size=max_bucket_size,
+        persisted=persisted,
     )
 
 
@@ -369,6 +393,7 @@ def simhash_pairs_from_signatures(
     max_hamming: int = 3,
     bands: int | None = None,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Band-bucket candidate join + exact Hamming verify over a
     precomputed ``(id, simhash)`` signature table — the relational tail
@@ -392,7 +417,9 @@ def simhash_pairs_from_signatures(
             )
         ).alias("band"),
     ).select("id", "simhash", "band.band_id", "band.band_value")
-    banded = _cap_buckets(banded, ["band_id", "band_value"], max_bucket_size, "simhash")
+    banded = _cap_buckets(
+        banded, ["band_id", "band_value"], max_bucket_size, "simhash", persisted
+    )
 
     pairs = (
         banded.alias("a")

@@ -196,6 +196,7 @@ def build_resolution_table(
     triples: DataFrame,
     gazetteer_df: DataFrame,
     gazetteer_bc: Broadcast,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Distinct (text, entity_type) -> (canonical_name, confidence,
     match_type) via the exact -> fuzzy -> new ladder.
@@ -210,9 +211,14 @@ def build_resolution_table(
     Only the "new" remainder needs corpus-joint work (blocking +
     connected components).  ``gazetteer_df`` is kept in the signature for
     callers that want the dimension relationally (tests, ad-hoc joins).
+    ``persisted`` (when given) collects the cached ladder table so
+    long-running callers — the streaming foreachBatch loop relies on
+    ``GraphBuildResult.unpersist()`` — can release it per build.
     """
     strings = _distinct_linkable_strings(mentions, triples)
     scored = score_strings_ladder(strings, gazetteer_bc).persist()
+    if persisted is not None:
+        persisted.append(scored)
 
     new_strings = scored.where(F.col("match_type") == "new").select(
         "text", "entity_type", "norm_text"

@@ -227,8 +227,8 @@ def embedding_near_duplicates(
     """Embedding-cosine near-duplicate grouping: hyperplane-LSH candidate
     pairs -> exact cosine re-score (integer x1e6, engine-exact) ->
     connected components.  Returns (id, group) with group = the cluster's
-    min id (lexicographic on the string key, matching the other near-dup
-    operators); singletons omitted.  Never all-pairs: candidate count is
+    numeric min id (matching the other near-dup operators); singletons
+    omitted.  Never all-pairs: candidate count is
     bounded by bucket co-occupancy, tunable via (n_planes, bands)."""
     sigs = hyperplane_signatures(
         emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, bands=bands, seed=seed
@@ -239,13 +239,12 @@ def embedding_near_duplicates(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),
     )
-    from islamic_ner_spark.operators.components import connected_components
-
-    comp = connected_components(edges)
-    return comp.select(
-        F.col("node").cast("long").alias("id"),
-        F.col("component").cast("long").alias("group"),
+    from islamic_ner_spark.operators.components import (
+        connected_components,
+        numeric_groups,
     )
+
+    return numeric_groups(connected_components(edges))
 
 
 def topk_recall(approx: DataFrame, exact: DataFrame) -> float:

@@ -332,8 +332,11 @@ def q_kg_scholar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate grouping: connected components over staged verified
-    MinHash pairs (group = min doc id, lexicographic on the string key)."""
-    from islamic_ner_spark.operators.components import connected_components
+    MinHash pairs (group = numeric min doc id of the cluster)."""
+    from islamic_ner_spark.operators.components import (
+        connected_components,
+        numeric_groups,
+    )
     from islamic_ner_spark.plans import staging
 
     staging.ensure_dedup_stage(spark, sf_dir)
@@ -344,10 +347,7 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").cast("string").alias("dst"),
         )
     )
-    return comp.select(
-        F.col("node").cast("long").alias("id"),
-        F.col("component").cast("long").alias("group"),
-    ).orderBy("id")
+    return numeric_groups(comp).orderBy("id")
 
 
 def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,7 +379,10 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup grouping: staged hyperplane-LSH
     candidates -> exact cosine (x1e6 integer) >= threshold -> connected
     components."""
-    from islamic_ner_spark.operators.components import connected_components
+    from islamic_ner_spark.operators.components import (
+        connected_components,
+        numeric_groups,
+    )
     from islamic_ner_spark.operators.similarity import (
         cosine_pair_scores,
         embedding_candidate_pairs,
@@ -398,10 +401,7 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("string").alias("dst"),
     )
     comp = connected_components(edges)
-    return comp.select(
-        F.col("node").cast("long").alias("id"),
-        F.col("component").cast("long").alias("group"),
-    ).orderBy("id")
+    return numeric_groups(comp).orderBy("id")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,7 +758,9 @@ ORACLE_SQL.update({
             FROM read_parquet('{_MINHASH_PAIRS}')
             WHERE id_a <> id_b
         )''')}
-        SELECT CAST(node AS BIGINT) AS id, CAST(component AS BIGINT) AS "group"
+        SELECT CAST(node AS BIGINT) AS id,
+               MIN(CAST(node AS BIGINT)) OVER (PARTITION BY component)
+                   AS "group"
         FROM comp
     """,
     "neardup_simhash": f"""
@@ -852,7 +854,9 @@ ORACLE_SQL.update({
             SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
             FROM scored WHERE cos >= {_staging.EMBDUP_THRESHOLD_X1E6}
         )''')}
-        SELECT CAST(node AS BIGINT) AS id, CAST(component AS BIGINT) AS "group"
+        SELECT CAST(node AS BIGINT) AS id,
+               MIN(CAST(node AS BIGINT)) OVER (PARTITION BY component)
+                   AS "group"
         FROM comp
     """,
     "ann_lsh_topk": f"""

@@ -372,7 +372,9 @@ def _build_from_annotated(
     else:
         pass  # mentions/triples are cheap explodes of the cached `extracted`
 
-    resolution = build_resolution_table(spark, mentions, triples, gazetteer_df, gazetteer_bc)
+    resolution = build_resolution_table(
+        spark, mentions, triples, gazetteer_df, gazetteer_bc, persisted=persisted
+    )
     if work_dir:
         path = str(Path(work_dir) / "resolution")
         if not tables.table_is_current(path, fingerprint):
