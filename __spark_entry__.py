@@ -23,10 +23,13 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from islamic_ner_spark.plans.pipeline import build_graph
+    from islamic_ner_spark.plans.staging import FLAGSHIP_TURNS_PER_CONV
     from islamic_ner_spark.sources.transcripts import transcripts_from_documents
 
     docs = spark.read.parquet(f"{SF0001}/documents.parquet").select("doc_id")
-    transcripts = transcripts_from_documents(spark, docs, turns_per_conv=3)
+    transcripts = transcripts_from_documents(
+        spark, docs, turns_per_conv=FLAGSHIP_TURNS_PER_CONV
+    )
     result = build_graph(spark, transcripts)
     return (
         result.edges.where(F.col("pred") == "NARRATED_FROM")

@@ -4,7 +4,8 @@ Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].  Prints exactly ONE JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...,
+     "queries": {name: sec, ...}, "cpu_s": {name: cpu-sec, ...},
+     "load1": {name: loadavg-at-start, ...}, "sf": ...,
      "triples": N, "turns": N, "triples_per_sec": X, "turns_per_sec": X}
 
 The headline stage is the full pipeline (synthesized transcripts scaled
@@ -12,6 +13,16 @@ from the sf documents table -> annotate -> triples -> linking -> graph),
 measured as wall time to materialize the edges table; triples/sec is the
 BASELINE.json metric.  Scale knobs via env:
 SPARK_GRAFT_CONVS_PER_DOC (default 6), SPARK_GRAFT_TURNS (default 4).
+
+Noise accounting (round-2 verdict: a 2.9x official-number swing turned
+out to be host interference and was only diagnosable by re-running):
+every timed phase also records the container cgroup CPU-seconds it
+burned and the host 1-min loadavg at its start.  Wall time that swings
+while cpu_s stays flat is external load, not a code regression — the
+evidence ships in the JSON so a reader never has to re-run to tell.
+The short SQL headliners additionally run $SPARK_GRAFT_BEST_OF times
+(default 2) keeping the best wall time; the KG build runs once (it is
+long enough to average noise, and its cpu_s is the ground truth).
 """
 
 from __future__ import annotations
@@ -25,6 +36,77 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _container_cpu_ns() -> int | None:
+    """Container-wide CPU accounting (covers the JVM + Python workers;
+    per-process rusage cannot see the unwaited JVM).  v1 cpuacct first,
+    cgroup v2 unified cpu.stat as fallback."""
+    try:
+        return int(open("/sys/fs/cgroup/cpuacct/cpuacct.usage").read())
+    except OSError:
+        pass
+    for path in ("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/unified/cpu.stat"):
+        try:
+            for line in open(path):
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) * 1000
+        except OSError:
+            continue
+    return None
+
+
+def _load1() -> float | None:
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        return None
+
+
+class _PhaseClock:
+    """Times phases, pairing wall seconds with cgroup CPU-seconds and
+    the host load at phase start."""
+
+    def __init__(self) -> None:
+        self.timings: dict[str, float] = {}
+        self.cpu_s: dict[str, float] = {}
+        self.load1: dict[str, float] = {}
+
+    def run(self, name: str, fn) -> None:
+        load = _load1()
+        cpu_before = _container_cpu_ns()
+        start = time.time()
+        fn()
+        wall = time.time() - start
+        cpu_after = _container_cpu_ns()
+        self.timings[name] = round(wall, 3)
+        if cpu_before is not None and cpu_after is not None:
+            self.cpu_s[name] = round((cpu_after - cpu_before) / 1e9, 2)
+        if load is not None:
+            self.load1[name] = load
+
+    def run_best_of(self, name: str, fn, repeats: int) -> None:
+        """Best wall time of ``repeats`` runs (keeps that run's cpu_s)."""
+        best: tuple[float, float | None, float | None] | None = None
+        for _ in range(max(1, repeats)):
+            load = _load1()
+            cpu_before = _container_cpu_ns()
+            start = time.time()
+            fn()
+            wall = time.time() - start
+            cpu_after = _container_cpu_ns()
+            cpu = (
+                (cpu_after - cpu_before) / 1e9
+                if cpu_before is not None and cpu_after is not None
+                else None
+            )
+            if best is None or wall < best[0]:
+                best = (wall, cpu, load)
+        self.timings[name] = round(best[0], 3)
+        if best[1] is not None:
+            self.cpu_s[name] = round(best[1], 2)
+        if best[2] is not None:
+            self.load1[name] = best[2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -33,6 +115,7 @@ def main() -> None:
     # this is 6M turns, ~1.5 min on 32 cores
     convs_per_doc = int(os.environ.get("SPARK_GRAFT_CONVS_PER_DOC", "300"))
     turns_per_conv = int(os.environ.get("SPARK_GRAFT_TURNS", "4"))
+    best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "2"))
 
     from pyspark.sql import functions as F
 
@@ -47,7 +130,7 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_convs = n_docs * convs_per_doc
-    timings: dict[str, float] = {}
+    clock = _PhaseClock()
 
     # --- input synthesis (untimed: a real deployment reads an existing
     # transcripts table; what we benchmark is the engine, not the faker) --
@@ -60,51 +143,54 @@ def main() -> None:
     ).write.mode("overwrite").parquet(staging)
 
     # --- headline: end-to-end KG build -----------------------------------
-    start = time.time()
-    transcripts = spark.read.parquet(staging)
-    result = build_graph(spark, transcripts)
-    # ONE action materializes both output tables: the union-of-aggregates
-    # plan shares the broadcast resolution exchange and the cached
-    # extraction scans, and populates the edges/nodes caches in a single
-    # job.  sum(merge_count) IS the resolved-triple count (each emitted
-    # triple contributes exactly one merge), so no separate pass needed.
-    stats_rows = (
-        result.edges.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("merge_count").alias("m")
-        )
-        .select(F.lit("edges").alias("k"), "n", "m")
-        .unionByName(
-            result.nodes.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit("nodes").alias("k"), "n", F.lit(0).cast("long").alias("m")
+    counts: dict[str, int] = {}
+
+    def kg_build() -> None:
+        transcripts = spark.read.parquet(staging)
+        result = build_graph(spark, transcripts)
+        # ONE action materializes both output tables: the union-of-aggregates
+        # plan shares the broadcast resolution exchange and the cached
+        # extraction scans, and populates the edges/nodes caches in a single
+        # job.  sum(merge_count) IS the resolved-triple count (each emitted
+        # triple contributes exactly one merge), so no separate pass needed.
+        stats_rows = (
+            result.edges.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("merge_count").alias("m")
             )
+            .select(F.lit("edges").alias("k"), "n", "m")
+            .unionByName(
+                result.nodes.agg(F.count(F.lit(1)).alias("n")).select(
+                    F.lit("nodes").alias("k"), "n", F.lit(0).cast("long").alias("m")
+                )
+            )
+            .collect()
         )
-        .collect()
-    )
-    stats = {r["k"]: r for r in stats_rows}
-    n_edges = int(stats["edges"]["n"])
-    n_triples = int(stats["edges"]["m"])
-    n_nodes = int(stats["nodes"]["n"])
-    kg_seconds = time.time() - start
-    timings["kg_build_e2e"] = round(kg_seconds, 3)
+        stats = {r["k"]: r for r in stats_rows}
+        counts["edges"] = int(stats["edges"]["n"])
+        counts["triples"] = int(stats["edges"]["m"])
+        counts["nodes"] = int(stats["nodes"]["n"])
+        counts["result"] = result  # type: ignore[assignment]
+
+    clock.run("kg_build_e2e", kg_build)
+    kg_seconds = clock.timings["kg_build_e2e"]
     n_turns = n_convs * turns_per_conv
+    result = counts.pop("result")
 
     # --- headline queries over the built graph ---------------------------
-    start = time.time()
+    from islamic_ner_spark.operators.components import connected_components
     from islamic_ner_spark.operators.queries import top_narrators
 
-    top_narrators(result.edges, k=20).collect()
-    timings["kg_top_narrators"] = round(time.time() - start, 3)
+    clock.run("kg_top_narrators", lambda: top_narrators(result.edges, k=20).collect())
 
-    start = time.time()
-    from islamic_ner_spark.operators.components import connected_components
+    def components() -> None:
+        scholar_pairs = result.edges.where(
+            (F.col("pred") == "NARRATED_FROM")
+            & (F.col("src_label") == "Scholar")
+            & (F.col("tgt_label") == "Scholar")
+        ).select(F.col("src_key").alias("src"), F.col("tgt_key").alias("dst"))
+        connected_components(scholar_pairs).groupBy("component").count().collect()
 
-    scholar_pairs = result.edges.where(
-        (F.col("pred") == "NARRATED_FROM")
-        & (F.col("src_label") == "Scholar")
-        & (F.col("tgt_label") == "Scholar")
-    ).select(F.col("src_key").alias("src"), F.col("tgt_key").alias("dst"))
-    connected_components(scholar_pairs).groupBy("component").count().collect()
-    timings["kg_components"] = round(time.time() - start, 3)
+    clock.run("kg_components", components)
 
     # --- relational / text / similarity headliners ------------------------
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
@@ -116,27 +202,32 @@ def main() -> None:
             "lang_quality",
             "embedding_topk",
         ):
-            start = time.time()
-            dq.QUERIES[name](spark, sf_dir).collect()
-            timings[name] = round(time.time() - start, 3)
+            clock.run_best_of(
+                name,
+                lambda name=name: dq.QUERIES[name](spark, sf_dir).collect(),
+                best_of,
+            )
 
     shutil.rmtree(staging, ignore_errors=True)
-    total = round(sum(timings.values()), 3)
+    total = round(sum(clock.timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "kg-build e2e + headline query suite wall time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": clock.timings,
+                "cpu_s": clock.cpu_s,
+                "load1": clock.load1,
+                "best_of_sql": best_of,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "turns": n_turns,
-                "triples": n_triples,
-                "edges": n_edges,
-                "nodes": n_nodes,
+                "triples": counts["triples"],
+                "edges": counts["edges"],
+                "nodes": counts["nodes"],
                 "turns_per_sec": round(n_turns / kg_seconds, 1),
-                "triples_per_sec": round(n_triples / kg_seconds, 1),
+                "triples_per_sec": round(counts["triples"] / kg_seconds, 1),
             }
         )
     )

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from islamic_ner_spark.operators.capping import cap_buckets, log_candidate_stats
 from islamic_ner_spark.operators.components import connected_components
 
 _MERSENNE_PRIME = (1 << 61) - 1
@@ -105,50 +106,10 @@ def minhash_signatures(
 # their other (b-1) bands unless ALL their buckets are degenerate.
 MAX_BUCKET_SIZE = 5_000
 
-
-def _cap_buckets(
-    banded: DataFrame,
-    key_cols: list[str],
-    max_bucket_size: int | None,
-    what: str,
-    persisted: list | None = None,
-) -> DataFrame:
-    """Drop (and log) over-capacity LSH buckets — no silent caps.
-
-    ``banded`` is persisted here: the overflow check and the downstream
-    candidate self-join otherwise each re-run the signature kernel that
-    produced it.  Pass ``persisted`` (a list the cache is appended to)
-    from long-running callers so they can ``unpersist()`` once the
-    candidate join has materialized — otherwise the cached blocks live
-    until Spark's LRU reclaims them."""
-    if max_bucket_size is None:
-        return banded
-    banded = banded.persist()
-    if persisted is not None:
-        persisted.append(banded)
-    from pyspark.sql import Window
-
-    bucket_w = Window.partitionBy(*key_cols)
-    capped = banded.withColumn(
-        "_bucket_n", F.count(F.lit(1)).over(bucket_w)
-    ).where(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
-
-    overflow = (
-        banded.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_bucket_n"))
-        .where(F.col("_bucket_n") > max_bucket_size)
-    )
-    n_over = overflow.count()
-    if n_over:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "%s: dropped %d over-capacity bucket(s) (> %d members) from "
-            "candidate generation; largest: %s",
-            what, n_over, max_bucket_size,
-            [r["_bucket_n"] for r in overflow.orderBy(F.desc("_bucket_n")).take(3)],
-        )
-    return capped
+# capping + dropped-work logging is shared across every bucketed path
+# (minhash/simhash here, hyperplane LSH in similarity.py, token
+# blocking in linking.py) — see operators/capping.py
+_cap_buckets = cap_buckets
 
 
 def lsh_candidate_pairs(
@@ -254,6 +215,13 @@ def near_duplicate_groups(
     caches: list = []
     candidates = lsh_candidate_pairs(
         sigs, bands=bands, max_bucket_size=max_bucket_size, persisted=caches
+    ).persist()
+    caches.append(candidates)
+    log_candidate_stats(
+        "minhash-near-dup",
+        n_candidates=candidates.count(),
+        corpus_size=df.count(),
+        extra=f"{num_perm // bands} rows x {bands} bands",
     )
     verified = verify_jaccard_pairs(
         candidates, df, id_col, text_col, shingle_k=shingle_k, threshold=threshold

@@ -82,50 +82,43 @@ def new_entity_nodes(new_strings: DataFrame) -> DataFrame:
 
 
 def new_pair_edges(
-    nodes: DataFrame, *, max_block_size: int = MAX_BLOCK_SIZE, log_dropped: bool = True
+    nodes: DataFrame,
+    *,
+    max_block_size: int = MAX_BLOCK_SIZE,
+    log_dropped: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Similarity edges between unresolved strings.
 
     Blocking: same (entity_type, shared whitespace token), with blocks
-    larger than ``max_block_size`` dropped (logged) so one ubiquitous
-    name particle cannot make the pair join quadratic in the vocabulary.
-    Pair scoring: SequenceMatcher ratio >= 0.8 in an Arrow batch
+    larger than ``max_block_size`` dropped (logged via the shared
+    operators/capping helper) so one ubiquitous name particle cannot
+    make the pair join quadratic in the vocabulary.  Pair scoring:
+    SequenceMatcher ratio >= 0.8 in an Arrow batch
     (entity_resolver.py:70-100 semantics).
     """
     from pyspark.sql import Window
+
+    from islamic_ner_spark.operators.capping import cap_buckets
 
     blocked = nodes.select(
         "node", "entity_type", "norm_text",
         F.explode(F.split("norm_text", " ")).alias("block_token"),
     ).where(F.col("block_token") != "")
 
-    # one shuffle keyed on the block: the window count and the subsequent
-    # self-join both consume the same (entity_type, block_token) hashing
-    block_w = Window.partitionBy("entity_type", "block_token")
-    capped = blocked.withColumn(
-        "block_n", F.count(F.lit(1)).over(block_w)
-    ).where(F.col("block_n") <= max_block_size).drop("block_n")
-
     if log_dropped:
-        # ONE driver job: top-6 over-capacity blocks (len>5 => "more exist")
-        hot_rows = (
-            blocked.groupBy("entity_type", "block_token")
-            .agg(F.count(F.lit(1)).alias("block_n"))
-            .where(F.col("block_n") > max_block_size)
-            .orderBy(F.desc("block_n"))
-            .take(6)
+        capped = cap_buckets(
+            blocked, ["entity_type", "block_token"], max_block_size,
+            "new-entity-blocking", persisted,
         )
-        if hot_rows:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "new-entity blocking dropped over-capacity block token(s) "
-                "(> %d strings each); largest%s: %s",
-                max_block_size,
-                " (more exist)" if len(hot_rows) > 5 else "",
-                [(r["entity_type"], r["block_token"], r["block_n"])
-                 for r in hot_rows[:5]],
-            )
+    else:
+        # silent path for equivalence tests: one shuffle keyed on the
+        # block — the window count and the subsequent self-join both
+        # consume the same (entity_type, block_token) hashing
+        block_w = Window.partitionBy("entity_type", "block_token")
+        capped = blocked.withColumn(
+            "block_n", F.count(F.lit(1)).over(block_w)
+        ).where(F.col("block_n") <= max_block_size).drop("block_n")
 
     pairs = (
         capped.alias("a")
@@ -186,8 +179,14 @@ def _canonicalize_new(
     components; the lexicographic-min norm_text of each component is the
     canonical.  Identical to the reference for every test fixture."""
     nodes = new_entity_nodes(new_strings.select("text", "entity_type", "norm_text"))
-    edges = new_pair_edges(nodes, max_block_size=max_block_size)
-    return canonicalize_from_pairs(nodes, edges)
+    caches: list = []
+    edges = new_pair_edges(nodes, max_block_size=max_block_size, persisted=caches)
+    canon = canonicalize_from_pairs(nodes, edges)
+    # canonicalize_from_pairs ran connected_components, which materialized
+    # the edge set — the blocked cache is no longer referenced
+    for df_ in caches:
+        df_.unpersist()
+    return canon
 
 
 def build_resolution_table(

@@ -405,20 +405,28 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: band-bucket candidates from staged hyperplane signatures,
-    exact cosine re-score of candidates only, per-query rank."""
-    from islamic_ner_spark.operators.similarity import topk_from_candidates
+    """ANN: staged multiprobe query hashes joined against capped corpus
+    band buckets, exact cosine re-score of candidates only, per-query
+    rank."""
+    from islamic_ner_spark.operators.capping import cap_buckets
+    from islamic_ner_spark.operators.similarity import (
+        MAX_BUCKET_SIZE,
+        topk_from_candidates,
+    )
     from islamic_ner_spark.plans import staging
 
     staging.ensure_ann_stage(spark, sf_dir)
-    sig = spark.read.parquet(staging.stage_path("ann", "ann_sigs"))
-    qsig = sig.where(F.col("vid") < staging.ANN_N_QUERIES).select(
+    sig = cap_buckets(
+        spark.read.parquet(staging.stage_path("ann", "ann_sigs")),
+        ["band_id", "band_hash"], MAX_BUCKET_SIZE, "ann-lsh",
+    )
+    probes = spark.read.parquet(staging.stage_path("ann", "ann_query_probes")).select(
         F.col("vid").alias("qid"),
         F.col("band_id").alias("qband"),
         F.col("band_hash").alias("qhash"),
     )
     candidates = (
-        qsig.join(
+        probes.join(
             sig,
             on=[
                 F.col("qband") == F.col("band_id"),
@@ -632,6 +640,7 @@ _MINHASH_PAIRS = _staging.stage_glob("dedup", "minhash_pairs")
 _MINHASH_CANDS = _staging.stage_glob("dedup", "minhash_candidates")
 _SIMHASH_SIGS = _staging.stage_glob("dedup", "simhash_sigs")
 _ANN_SIGS = _staging.stage_glob("ann", "ann_sigs")
+_ANN_PROBES = _staging.stage_glob("ann", "ann_query_probes")
 _EMBDUP_SIGS = _staging.stage_glob("ann", "emb_neardup_sigs")
 
 
@@ -680,6 +689,12 @@ def _simhash_band_union() -> str:
 
 def _max_bucket_size() -> int:
     from islamic_ner_spark.operators.dedup import MAX_BUCKET_SIZE
+
+    return MAX_BUCKET_SIZE
+
+
+def _emb_max_bucket_size() -> int:
+    from islamic_ner_spark.operators.similarity import MAX_BUCKET_SIZE
 
     return MAX_BUCKET_SIZE
 
@@ -836,11 +851,17 @@ ORACLE_SQL.update({
         nv AS (SELECT vec_id, vec, sqrt(list_sum([x * x FOR x IN vec])) AS nrm
                FROM allv),
         sig AS (SELECT * FROM read_parquet('{_EMBDUP_SIGS}')),
+        scapped AS (
+            SELECT vid, band_id, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
+                FROM sig
+            ) WHERE bn <= {_emb_max_bucket_size()}
+        ),
         cand AS (
             SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
-            FROM sig a
-            JOIN sig b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                      AND a.vid < b.vid
+            FROM scapped a
+            JOIN scapped b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                          AND a.vid < b.vid
         ),
         scored AS (
             SELECT c.id_a, c.id_b,
@@ -861,11 +882,18 @@ ORACLE_SQL.update({
     """,
     "ann_lsh_topk": f"""
         WITH sig AS (SELECT * FROM read_parquet('{_ANN_SIGS}')),
+        capped AS (
+            SELECT vid, band_id, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
+                FROM sig
+            ) WHERE bn <= {_emb_max_bucket_size()}
+        ),
+        probes AS (SELECT * FROM read_parquet('{_ANN_PROBES}')),
         cand AS (
-            SELECT DISTINCT q.vid AS qid, c.vid AS nid
-            FROM sig q
-            JOIN sig c ON q.band_id = c.band_id AND q.band_hash = c.band_hash
-            WHERE q.vid < {_staging.ANN_N_QUERIES} AND q.vid <> c.vid
+            SELECT DISTINCT p.vid AS qid, c.vid AS nid
+            FROM probes p
+            JOIN capped c ON p.band_id = c.band_id AND p.band_hash = c.band_hash
+            WHERE p.vid <> c.vid
         ),
         vecs AS (
             SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec

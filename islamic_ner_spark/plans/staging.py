@@ -26,18 +26,25 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STAGE_VERSION = "r2-3"
+STAGE_VERSION = "r3-1"
 STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
+
+# the flagship entry() (__spark_entry__.py) and the staged KG dataflow
+# MUST synthesize transcripts identically — single-sourced here so a
+# future change cannot silently diverge the oracle input from the
+# flagship input (tests/test_queries.py asserts the row counts agree)
+FLAGSHIP_TURNS_PER_CONV = 3
 
 # shared query parameters (must match the paired ORACLE_SQL strings)
 MINHASH_THRESHOLD = 0.7
 SIMHASH_MAX_HAMMING = 6
 SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: full recall
-ANN_N_PLANES = 16
+# hyperplane-LSH plane/band counts are derived per corpus by
+# operators/similarity.hyperplane_params (bits/band ~ log2 N => random
+# candidates stay linear in N); only the structural knobs live here.
 ANN_BANDS = 8
 ANN_N_QUERIES = 20
-EMBDUP_N_PLANES = 32
-EMBDUP_BANDS = 8
+ANN_PROBE_RADIUS = 1  # query-side multiprobe: recall without loosening buckets
 EMBDUP_THRESHOLD_X1E6 = 800_000  # perturbed twins score ~0.87-0.93; others < 0.52
 
 
@@ -146,7 +153,9 @@ def ensure_kg_stage(spark: SparkSession, sf_dir: str) -> None:
     from islamic_ner_spark.sources.transcripts import transcripts_from_documents
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    transcripts = transcripts_from_documents(spark, docs, turns_per_conv=3)
+    transcripts = transcripts_from_documents(
+        spark, docs, turns_per_conv=FLAGSHIP_TURNS_PER_CONV
+    )
     gazetteer_bc = spark.sparkContext.broadcast(
         Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR)
     )
@@ -220,25 +229,51 @@ def ensure_dedup_stage(spark: SparkSession, sf_dir: str) -> None:
 
 
 def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
-    """Stage hyperplane-LSH signatures: ``ann_sigs`` over the embeddings
-    table (top-k search) and ``emb_neardup_sigs`` over the perturbed
-    corpus (near-duplicate grouping)."""
+    """Stage hyperplane-LSH signatures, sized per corpus:
+
+    * ``ann_sigs`` — exact corpus signatures over the embeddings table
+      (``max(8, log2 N)`` bits x ``ANN_BANDS`` bands);
+    * ``ann_query_probes`` — the first ``ANN_N_QUERIES`` vectors'
+      multiprobe hashes (radius ``ANN_PROBE_RADIUS``), so the candidate
+      join — Spark and the DuckDB oracle alike — is a pure equi-join of
+      two staged tables;
+    * ``emb_neardup_sigs`` — signatures over the perturbed corpus with
+      :func:`hyperplane_params`-derived (planes, bands) targeting 95%
+      recall at the near-dup cosine threshold.
+    """
     if _is_current("ann", sf_dir):
         return
     _reset("ann")
 
-    from islamic_ner_spark.operators.similarity import hyperplane_signatures
+    import math
+
+    from islamic_ner_spark.operators.similarity import (
+        hyperplane_params,
+        hyperplane_signatures,
+    )
+    from pyspark.sql import functions as _F
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    ann_planes = max(8, math.ceil(math.log2(max(2, n)))) * ANN_BANDS
     _write(
-        hyperplane_signatures(emb, n_planes=ANN_N_PLANES, bands=ANN_BANDS),
+        hyperplane_signatures(emb, n_planes=ann_planes, bands=ANN_BANDS),
         "ann", "ann_sigs",
     )
     _write(
         hyperplane_signatures(
-            embeddings_with_perturbed(spark, sf_dir),
-            n_planes=EMBDUP_N_PLANES, bands=EMBDUP_BANDS,
+            emb.where(_F.col("vec_id") < ANN_N_QUERIES),
+            n_planes=ann_planes, bands=ANN_BANDS, probe_radius=ANN_PROBE_RADIUS,
         ),
+        "ann", "ann_query_probes",
+    )
+
+    dup = embeddings_with_perturbed(spark, sf_dir)
+    dup_planes, dup_bands = hyperplane_params(
+        2 * n, min_cos=EMBDUP_THRESHOLD_X1E6 / 1e6
+    )
+    _write(
+        hyperplane_signatures(dup, n_planes=dup_planes, bands=dup_bands),
         "ann", "emb_neardup_sigs",
     )
     _mark("ann", sf_dir)

@@ -75,3 +75,23 @@ def test_shortest_path_bfs(spark, resolver_gazetteer) -> None:
     assert len(path) == 4
     assert Q.shortest_path(result.edges, malik, malik) == [malik]
     assert Q.shortest_path(result.edges, malik, "مجهول") == []
+
+
+def test_entry_matches_staged_narration_chains(spark, tmp_path, monkeypatch) -> None:
+    """Drift guard (VERDICT r2 #8): the flagship entry() and the staged
+    KG dataflow synthesize transcripts from the SAME single-sourced
+    FLAGSHIP_TURNS_PER_CONV, so the flagship output must row-for-row
+    equal the oracle-checked kg_narration_chains query on the same
+    documents table."""
+    import __spark_entry__ as se
+    from islamic_ner_spark.plans import staging
+    from islamic_ner_spark.plans.driver_queries import q_kg_narration_chains
+
+    monkeypatch.setattr(staging, "STAGE_ROOT", tmp_path / "stage")
+    flagship = se.entry(spark).select("source_hadith", "source", "target")
+    staged = q_kg_narration_chains(spark, se.SF0001).select(
+        "source_hadith", "source", "target"
+    )
+    assert sorted(map(tuple, flagship.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
