@@ -634,6 +634,7 @@ _ANNOTATED = _staging.stage_glob("kg", "annotated")
 _EDGE_ROWS = _staging.stage_glob("kg", "edge_rows")
 _NODE_ROWS = _staging.stage_glob("kg", "node_rows")
 _SCORED = _staging.stage_glob("kg", "resolution_scored")
+_GAZ_DIM = _staging.stage_glob("kg", "gazetteer_dim")
 _NEW_NODES = _staging.stage_glob("kg", "new_nodes")
 _NEW_PAIRS = _staging.stage_glob("kg", "new_pair_edges")
 _MINHASH_PAIRS = _staging.stage_glob("dedup", "minhash_pairs")
@@ -745,9 +746,29 @@ ORACLE_SQL.update({
                        AS canonical_name
             FROM read_parquet('{_NEW_NODES}') n
             LEFT JOIN comp c ON n.node = c.node
-        )
-        SELECT text, entity_type, norm_text, canonical_name, confidence, match_type
-        FROM read_parquet('{_SCORED}') WHERE match_type <> 'new'
+        ),
+        gaz AS (SELECT * FROM read_parquet('{_GAZ_DIM}'))
+        -- exact rung REPLAYED, not trusted: dictionary membership and the
+        -- canonical both recomputed by joining the staged strings against
+        -- the staged gazetteer dimension.  A string the ladder mislabeled
+        -- exact (absent from the dimension) or fuzzy (present in it)
+        -- diverges here and turns the row red.
+        SELECT s.text, s.entity_type, s.norm_text,
+               g.canonical_norm AS canonical_name,
+               CAST(1.0 AS DOUBLE) AS confidence, 'exact' AS match_type
+        FROM read_parquet('{_SCORED}') s
+        JOIN gaz g ON s.entity_type = g.entity_type
+                  AND s.norm_text = g.variant_norm
+        UNION ALL
+        -- fuzzy rows: negative membership replayed (NOT in the dimension);
+        -- the SequenceMatcher scoring itself is kernel work gated by the
+        -- reference-parity fuzz suite
+        SELECT s.text, s.entity_type, s.norm_text, s.canonical_name,
+               s.confidence, s.match_type
+        FROM read_parquet('{_SCORED}') s
+        LEFT JOIN gaz g ON s.entity_type = g.entity_type
+                       AND s.norm_text = g.variant_norm
+        WHERE g.canonical_norm IS NULL AND s.match_type = 'fuzzy'
         UNION ALL
         SELECT s.text, s.entity_type, s.norm_text, c.canonical_name,
                CAST(0.5 AS DOUBLE) AS confidence, 'new' AS match_type

@@ -26,7 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STAGE_VERSION = "r3-1"
+STAGE_VERSION = "r3-2"
 STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
 
 # the flagship entry() (__spark_entry__.py) and the staged KG dataflow
@@ -122,6 +122,10 @@ def ensure_kg_stage(spark: SparkSession, sf_dir: str) -> None:
 
     * ``annotated``    — conv_id, turn_idx, doc_id, labels, mentions, triples
     * ``resolution_scored`` — per-string exact/fuzzy/new ladder output
+    * ``gazetteer_dim`` — (entity_type, variant_norm, canonical_norm), the
+      exact-resolution dimension: lets the oracle RECOMPUTE the ladder's
+      exact rung (dict membership + canonical) by SQL join instead of
+      trusting the staged labels (VERDICT r2 "What's wrong" #3)
     * ``new_nodes`` / ``new_pair_edges`` — joint-canonicalization inputs
     * ``edge_rows``    — pre-MERGE edge candidate rows (post-linking)
     * ``node_rows``    — pre-MERGE node candidate rows (post-linking)
@@ -175,6 +179,7 @@ def ensure_kg_stage(spark: SparkSession, sf_dir: str) -> None:
         ),
         "kg", "resolution_scored",
     )
+    _write(gazetteer_bc.value.to_dataframe(spark), "kg", "gazetteer_dim")
     new_nodes = _write(
         new_entity_nodes(
             scored.where(F.col("match_type") == "new").select(

@@ -106,3 +106,183 @@ def completed_buckets(table_path: str | Path) -> set[str]:
     if not manifest or not manifest.get("per_partition_rows"):
         return set()
     return set(manifest["per_partition_rows"].keys())
+
+
+class ParquetTableSink:
+    """The managed-table seam: every table write/read/merge in the batch
+    pipeline and the streaming graph maintenance routes through this
+    object (``tables.SINK``), so swapping in a catalog-managed format is
+    one assignment, not a code hunt.
+
+    **Iceberg mapping** (the production target; no Iceberg runtime jar in
+    this sandbox).  An ``IcebergTableSink`` implements the same methods:
+
+    * ``write``      -> ``df.writeTo(tbl).using("iceberg").createOrReplace()``;
+      the manifest's lineage fields ride in snapshot summary properties.
+    * ``read``       -> ``spark.table(tbl)``.
+    * ``is_current`` -> compare the fingerprint stored in the latest
+      snapshot's summary properties.
+    * ``merge_buckets`` -> one ``MERGE INTO`` per table instead of the
+      hand-rolled per-bucket directory swap, keyed exactly as the
+      incremental merge functions are:
+
+      - edges (``operators/graph.EDGE_KEY``)::
+
+            MERGE INTO kg_edges t USING batch s
+            ON  t.pred = s.pred AND t.src_label = s.src_label
+            AND t.src_key = s.src_key AND t.tgt_label = s.tgt_label
+            AND t.tgt_key = s.tgt_key AND t.source_hadith = s.source_hadith
+            WHEN MATCHED THEN UPDATE SET
+              confidence  = greatest(t.confidence, s.confidence),
+              evidence    = CASE WHEN t.evidence <> '' THEN t.evidence
+                                 ELSE s.evidence END,
+              merge_count = t.merge_count + s.merge_count
+            WHEN NOT MATCHED THEN INSERT *
+
+      - nodes (key ``(label, key)``)::
+
+            MERGE INTO kg_nodes t USING batch s
+            ON t.label = s.label AND t.key = s.key
+            WHEN MATCHED THEN UPDATE SET        -- later writer wins props
+              name_ar = s.name_ar, confidence = s.confidence,
+              book_ref = coalesce(s.book_ref, t.book_ref),
+              chapter = coalesce(s.chapter, t.chapter),
+              variants = array_sort(array_union(t.variants, s.variants)),
+              mention_count = t.mention_count + s.mention_count
+            WHEN NOT MATCHED THEN INSERT *
+
+      Exactly-once replay dedup then comes from Iceberg snapshot
+      isolation plus the batch-id marker, replacing the per-bucket
+      ``_batch.json`` watermark; ``recover`` becomes a no-op (atomic
+      metadata commits cannot leave half-swapped buckets).
+    """
+
+    # -- stage tables -----------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        table_path: str | Path,
+        *,
+        stage: str,
+        fingerprint: str,
+        partition_by: Optional[Sequence[str]] = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        return write_table(
+            df, table_path, stage=stage, fingerprint=fingerprint,
+            partition_by=partition_by, mode=mode,
+        )
+
+    def read(self, spark: SparkSession, table_path: str | Path) -> DataFrame:
+        return read_table(spark, table_path)
+
+    def is_current(self, table_path: str | Path, fingerprint: str) -> bool:
+        return table_is_current(table_path, fingerprint)
+
+    # -- bucketed incremental MERGE (streaming graph maintenance) ---------
+
+    def recover(self, table_dir: str | Path) -> None:
+        """Finish/undo an interrupted per-bucket swap.  ``_swap_K`` holds
+        complete new content (its ``_batch.json`` watermark included) not
+        yet renamed into place; ``_backup_K`` holds the displaced old
+        content.  A missing final dir is restored from swap (preferred:
+        already merged + marked) or backup; leftovers are discarded.
+        Idempotent."""
+        import shutil
+
+        table_dir = Path(table_dir)
+        if not table_dir.exists():
+            return
+        for staged in table_dir.glob("_swap_*"):
+            k = staged.name.rsplit("_", 1)[1]
+            final = table_dir / f"bucket={k}"
+            if not final.exists():
+                staged.rename(final)
+            else:
+                shutil.rmtree(staged, ignore_errors=True)
+        for backup in table_dir.glob("_backup_*"):
+            k = backup.name.rsplit("_", 1)[1]
+            final = table_dir / f"bucket={k}"
+            if not final.exists():
+                backup.rename(final)
+            else:
+                shutil.rmtree(backup, ignore_errors=True)
+
+    def bucket_watermark(self, table_dir: str | Path, k: int) -> int:
+        meta = Path(table_dir) / f"bucket={k}" / "_batch.json"
+        try:
+            return int(json.loads(meta.read_text())["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def merge_buckets(
+        self,
+        spark: SparkSession,
+        table_dir: str | Path,
+        new_df: DataFrame,
+        bucket_col,
+        merge_fn,
+        batch_id: int,
+    ) -> None:
+        """MERGE ``new_df`` into the bucketed table at ``table_dir``,
+        touching only the buckets its keys hash into — O(touched
+        buckets) per call, not O(table).  Exactly-once at bucket
+        granularity via the ``_batch.json`` watermark inside each
+        bucket's staged content (crash anywhere leaves every bucket
+        fully old or fully new+marked)."""
+        import shutil
+
+        table_dir = Path(table_dir)
+        self.recover(table_dir)
+        new_df = new_df.withColumn("bucket", bucket_col).persist()
+        touched = sorted(
+            r["bucket"] for r in new_df.select("bucket").distinct().collect()
+        )
+        pending = [
+            k for k in touched if self.bucket_watermark(table_dir, k) < batch_id
+        ]
+        if not pending:
+            new_df.unpersist()
+            return
+        new_pending = new_df.where(F.col("bucket").isin(pending))
+        existing_dirs = [
+            str(table_dir / f"bucket={k}")
+            for k in pending
+            if (table_dir / f"bucket={k}").exists()
+        ]
+        if existing_dirs:
+            existing = spark.read.option("basePath", str(table_dir)).parquet(
+                *existing_dirs
+            )
+            merged = merge_fn(existing, new_pending).withColumn("bucket", bucket_col)
+        else:
+            merged = new_pending
+
+        tmp = table_dir.parent / f"_{table_dir.name}_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(str(tmp))
+
+        table_dir.mkdir(parents=True, exist_ok=True)
+        for k in pending:
+            produced = tmp / f"bucket={k}"
+            if not produced.exists():  # defensive: no rows for this bucket
+                continue
+            # marker travels inside the staged content => content and
+            # watermark become visible in the same rename
+            (produced / "_batch.json").write_text(json.dumps({"batch_id": batch_id}))
+            staged = table_dir / f"_swap_{k}"
+            shutil.rmtree(staged, ignore_errors=True)
+            produced.rename(staged)
+            final = table_dir / f"bucket={k}"
+            backup = table_dir / f"_backup_{k}"
+            shutil.rmtree(backup, ignore_errors=True)
+            if final.exists():
+                final.rename(backup)
+            staged.rename(final)
+            shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_df.unpersist()
+
+
+SINK = ParquetTableSink()

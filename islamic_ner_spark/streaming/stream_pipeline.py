@@ -143,31 +143,12 @@ def start_windowed_mention_stream(
 
 def recover_bucket_swaps(table_dir) -> None:
     """Finish/undo an interrupted per-bucket swap (see
-    :func:`start_graph_stream`).  ``_swap_K`` holds complete new content
-    (its ``_batch.json`` watermark included) not yet renamed into place;
-    ``_backup_K`` holds the displaced old content.  A missing final dir
-    is restored from swap (preferred: already merged + marked) or
-    backup; leftovers are discarded.  Idempotent."""
-    import shutil
-    from pathlib import Path
+    :func:`start_graph_stream`).  Delegates to the parquet table sink —
+    the swap protocol lives with the sink (sources/tables.py) so a
+    managed-table (Iceberg) sink can replace it wholesale."""
+    from islamic_ner_spark.sources.tables import SINK
 
-    table_dir = Path(table_dir)
-    if not table_dir.exists():
-        return
-    for staged in table_dir.glob("_swap_*"):
-        k = staged.name.rsplit("_", 1)[1]
-        final = table_dir / f"bucket={k}"
-        if not final.exists():
-            staged.rename(final)
-        else:
-            shutil.rmtree(staged, ignore_errors=True)
-    for backup in table_dir.glob("_backup_*"):
-        k = backup.name.rsplit("_", 1)[1]
-        final = table_dir / f"bucket={k}"
-        if not final.exists():
-            backup.rename(final)
-        else:
-            shutil.rmtree(backup, ignore_errors=True)
+    SINK.recover(table_dir)
 
 
 DEDUP_OUTPUT_SCHEMA = (
@@ -293,8 +274,9 @@ def start_graph_stream(
     directory swap, so a crash anywhere mid-commit leaves every bucket
     either fully old or fully new+marked; a replay (foreachBatch is
     at-least-once) re-merges only the buckets whose watermark is stale.
-    ``_recover`` finishes or rolls back any interrupted swap from the
-    staged/backup directories before the next merge reads the table.
+    The whole write/merge/swap/recover protocol lives behind the table
+    sink (``sources/tables.SINK``, default parquet) — an Iceberg sink
+    replaces it with ``MERGE INTO`` per the mapping documented there.
 
     Incremental-linking semantics: "new"-entity canonicalization is
     joint WITHIN a batch but not across batches (a later batch cannot
@@ -302,7 +284,6 @@ def start_graph_stream(
     counterpart of the batch pipeline's corpus-joint clustering.
     """
     import json
-    import shutil
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -313,6 +294,7 @@ def start_graph_stream(
         merge_nodes_incremental,
     )
     from islamic_ner_spark.plans.pipeline import build_graph
+    from islamic_ner_spark.sources.tables import SINK
 
     graph_path = Path(graph_dir)
     graph_path.mkdir(parents=True, exist_ok=True)
@@ -337,78 +319,16 @@ def start_graph_stream(
     edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(n_buckets)).cast("int")
     node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(n_buckets)).cast("int")
 
-    def _bucket_dir(table_dir: Path, k: int) -> Path:
-        return table_dir / f"bucket={k}"
-
-    def _bucket_watermark(table_dir: Path, k: int) -> int:
-        meta = _bucket_dir(table_dir, k) / "_batch.json"
-        try:
-            return int(json.loads(meta.read_text())["batch_id"])
-        except (OSError, ValueError, KeyError):
-            return -1
-
-    def _merge_table(name: str, new_df, bucket_col, merge_fn, batch_id: int) -> None:
-        table_dir = graph_path / name
-        recover_bucket_swaps(table_dir)
-        new_df = new_df.withColumn("bucket", bucket_col).persist()
-        touched = sorted(
-            r["bucket"] for r in new_df.select("bucket").distinct().collect()
-        )
-        pending = [
-            k for k in touched if _bucket_watermark(table_dir, k) < batch_id
-        ]
-        if not pending:
-            new_df.unpersist()
-            return
-        new_pending = new_df.where(F.col("bucket").isin(pending))
-        existing_dirs = [
-            str(_bucket_dir(table_dir, k))
-            for k in pending
-            if _bucket_dir(table_dir, k).exists()
-        ]
-        if existing_dirs:
-            existing = spark.read.option("basePath", str(table_dir)).parquet(
-                *existing_dirs
-            )
-            merged = merge_fn(existing, new_pending).withColumn("bucket", bucket_col)
-        else:
-            merged = new_pending
-
-        tmp = graph_path / f"_{name}_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(str(tmp))
-
-        table_dir.mkdir(parents=True, exist_ok=True)
-        for k in pending:
-            produced = tmp / f"bucket={k}"
-            if not produced.exists():  # defensive: no rows for this bucket
-                continue
-            # marker travels inside the staged content => content and
-            # watermark become visible in the same rename
-            (produced / "_batch.json").write_text(json.dumps({"batch_id": batch_id}))
-            staged = table_dir / f"_swap_{k}"
-            shutil.rmtree(staged, ignore_errors=True)
-            produced.rename(staged)
-            final = _bucket_dir(table_dir, k)
-            backup = table_dir / f"_backup_{k}"
-            shutil.rmtree(backup, ignore_errors=True)
-            if final.exists():
-                final.rename(backup)
-            staged.rename(final)
-            shutil.rmtree(backup, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        new_df.unpersist()
-
     def process_batch(batch_df, batch_id: int) -> None:
         if marker.exists() and json.loads(marker.read_text())["batch_id"] >= batch_id:
             return  # replayed batch fully committed previously
         if not batch_df.take(1):
             return
         result = build_graph(spark, batch_df)
-        _merge_table("edges", result.edges, edge_bucket,
-                     merge_edges_incremental, batch_id)
-        _merge_table("nodes", result.nodes, node_bucket,
-                     merge_nodes_incremental, batch_id)
+        SINK.merge_buckets(spark, graph_path / "edges", result.edges,
+                           edge_bucket, merge_edges_incremental, batch_id)
+        SINK.merge_buckets(spark, graph_path / "nodes", result.nodes,
+                           node_bucket, merge_nodes_incremental, batch_id)
         marker.write_text(json.dumps({"batch_id": batch_id}))
         result.unpersist()
 
