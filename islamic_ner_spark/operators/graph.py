@@ -123,7 +123,14 @@ def aggregate_nodes(rows: DataFrame) -> DataFrame:
     """Node MERGE over candidate rows (the ``SET n += props`` tail):
     last-writer-wins properties under (conv_id, turn_idx, emit_idx)
     order, ``variants`` as sorted set union, ``mention_count`` as the
-    writer count (builder.py:404-443)."""
+    writer count (builder.py:404-443).
+
+    The winning writer's ordinal rides along as ``best_conv/best_turn/
+    best_emit`` so any later re-aggregation — cross-batch incremental
+    MERGE, or node clusters that merge during streaming
+    re-canonicalization compaction — can re-run the SAME last-writer
+    rule associatively: max over constituents' ordinals IS the global
+    last writer."""
     # single struct-max carries both last-writer payloads in one agg
     # buffer (vs two max_by(col, order) buffers); order fields lead, so
     # struct comparison == last-writer-wins
@@ -150,6 +157,9 @@ def aggregate_nodes(rows: DataFrame) -> DataFrame:
             F.col("w.confidence").alias("confidence"),
             "variants",
             "mention_count",
+            F.col("w.conv_id").alias("best_conv"),
+            F.col("w.turn_idx").alias("best_turn"),
+            F.col("w.emit_idx").alias("best_emit"),
         )
         # Hadith nodes carry provenance fields, empty for transcript input
         # (builder.py:339-343); Book author / Concept category default ""
@@ -221,6 +231,26 @@ def build_hadith_nodes_turn_local(extracted: DataFrame) -> DataFrame:
         F.filter("triples", lambda t: t["subj_type"] == "HADITH_REF")
     ) + F.size(F.filter("triples", lambda t: t["obj_type"] == "HADITH_REF"))
 
+    # the global agg's winner ordinal for this key: max emit among the
+    # turn's candidate rows — HADITH_REF triple endpoints (3e9 + 2*rel
+    # [+1 for obj]) when present, else the metadata row (2e9); mention
+    # emits (< 2e9) never win
+    endpoint_emit = F.aggregate(
+        "triples",
+        F.lit(2_000_000_000).cast("long"),
+        lambda acc, t: F.greatest(
+            acc,
+            F.when(
+                t["subj_type"] == "HADITH_REF",
+                F.lit(3_000_000_000) + t["rel_idx"].cast("long") * 2,
+            ).otherwise(F.lit(0).cast("long")),
+            F.when(
+                t["obj_type"] == "HADITH_REF",
+                F.lit(3_000_000_000) + t["rel_idx"].cast("long") * 2 + 1,
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
     return extracted.select(
         F.lit("Hadith").alias("label"),
         F.col("doc_id").alias("key"),
@@ -237,6 +267,9 @@ def build_hadith_nodes_turn_local(extracted: DataFrame) -> DataFrame:
         (F.lit(1) + F.size(href_mentions) + n_href_endpoints)
         .cast("long")
         .alias("mention_count"),
+        F.col("conv_id").alias("best_conv"),
+        F.col("turn_idx").cast("int").alias("best_turn"),
+        endpoint_emit.alias("best_emit"),
         F.lit("").alias("book_ref"),
         F.lit("").alias("chapter"),
     )
@@ -257,7 +290,14 @@ def build_edges(resolved_triples: DataFrame) -> DataFrame:
 def aggregate_edges(rows: DataFrame) -> DataFrame:
     """Edge MERGE over candidate rows (the upsert tail): first writer in
     (conv_id, turn_idx, emit_idx) order fixes confidence/evidence per
-    key, ``merge_count`` counts the writers (builder.py:99-123,427-435)."""
+    key, ``merge_count`` counts the writers (builder.py:99-123,427-435).
+
+    ``first_emit`` (the winning writer's emit ordinal) rides along so a
+    later re-aggregation — e.g. edges whose endpoint keys merge during
+    streaming re-canonicalization compaction — can re-run the SAME
+    first-writer rule associatively: min over rows' ``first_emit`` IS
+    the global first writer (an edge key's rows all share one turn, so
+    emit order alone totally orders its writers)."""
     # single struct-min carries both payloads in one agg buffer (half the
     # sort width of two min_by(col, order) buffers); the order fields
     # lead, so struct comparison == first-writer-wins
@@ -278,6 +318,7 @@ def aggregate_edges(rows: DataFrame) -> DataFrame:
             F.col("w.confidence").alias("confidence"),
             F.col("w.evidence").alias("evidence"),
             "merge_count",
+            F.col("w.emit_idx").alias("first_emit"),
         )
     )
 
@@ -287,7 +328,7 @@ EDGE_KEY = ["pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadi
 _EDGES_OUT_SCHEMA = (
     "pred string, src_label string, src_key string, tgt_label string, "
     "tgt_key string, source_hadith string, confidence double, "
-    "evidence string, merge_count long"
+    "evidence string, merge_count long, first_emit long"
 )
 
 
@@ -356,15 +397,16 @@ def build_edges_turn_local(resolved_triples: DataFrame) -> DataFrame:
             if not (np.diff(order) > 0).all():
                 chunk = chunk.iloc[order]
             if not chunk.duplicated(subset=key_cols).any():
-                out = chunk.drop(columns=["emit_idx"]).copy()
+                out = chunk.rename(columns={"emit_idx": "first_emit"}).copy()
                 out["merge_count"] = np.int64(1)
                 return out
             out = chunk.groupby(key_cols, sort=False, as_index=False).agg(
                 confidence=("confidence", "first"),
                 evidence=("evidence", "first"),
                 merge_count=("evidence", "size"),
+                first_emit=("emit_idx", "first"),
             )
-            return out[key_cols + ["confidence", "evidence", "merge_count"]]
+            return out[key_cols + ["confidence", "evidence", "merge_count", "first_emit"]]
 
         tail: pd.DataFrame | None = None
         for batch in batches:
@@ -396,7 +438,7 @@ _COMBINED_SCHEMA = (
     "out string, "
     "pred string, src_label string, src_key string, tgt_label string, "
     "tgt_key string, source_hadith string, confidence double, "
-    "evidence string, merge_count long, "
+    "evidence string, merge_count long, first_emit long, "
     "label string, key string, name_ar string, variants array<string>, "
     "mention_count long, best_conv string, best_turn int, best_emit long"
 )
@@ -507,11 +549,12 @@ def fused_graph_outputs(extracted: DataFrame, resolution_bc) -> DataFrame:
                         k = (t["pred"], sl, sc, ol, oc, doc_id)
                         ent = seen.get(k)
                         if ent is None:
-                            seen[k] = [t["confidence"], t["evidence"], 1]
+                            # edge candidate emit == rel_idx
+                            seen[k] = [t["confidence"], t["evidence"], 1, ridx]
                         else:
                             ent[2] += 1
                 for k, v in seen.items():
-                    edge_rows.append(k + (v[0], v[1], v[2]))
+                    edge_rows.append(k + (v[0], v[1], v[2], v[3]))
 
             n_e, n_v = len(edge_rows), len(vocab)
             if not (n_e or n_v):
@@ -533,6 +576,7 @@ def fused_graph_outputs(extracted: DataFrame, resolution_bc) -> DataFrame:
                     + [v[2] for v in vocab.values()],
                     "evidence": [r[7] for r in edge_rows] + [None] * n_v,
                     "merge_count": [r[8] for r in edge_rows] + [0] * n_v,
+                    "first_emit": [r[9] for r in edge_rows] + [0] * n_v,
                     "label": [None] * n_e + [k[0] for k in vocab],
                     "key": [None] * n_e + [k[1] for k in vocab],
                     "name_ar": [None] * n_e + [v[1] for v in vocab.values()],
@@ -554,7 +598,7 @@ def fused_graph_outputs(extracted: DataFrame, resolution_bc) -> DataFrame:
 def edges_from_combined(combined: DataFrame) -> DataFrame:
     return combined.where(F.col("out") == "edge").select(
         "pred", "src_label", "src_key", "tgt_label", "tgt_key",
-        "source_hadith", "confidence", "evidence", "merge_count",
+        "source_hadith", "confidence", "evidence", "merge_count", "first_emit",
     )
 
 
@@ -582,6 +626,9 @@ def nodes_from_combined(combined: DataFrame, extracted: DataFrame) -> DataFrame:
             F.col("w.confidence").alias("confidence"),
             "variants",
             "mention_count",
+            F.col("w.best_conv").alias("best_conv"),
+            F.col("w.best_turn").alias("best_turn"),
+            F.col("w.best_emit").alias("best_emit"),
             F.when(F.col("label") == "Hadith", F.lit("")).alias("book_ref"),
             F.when(F.col("label") == "Hadith", F.lit("")).alias("chapter"),
         )
@@ -599,12 +646,12 @@ def merge_edges_incremental(existing: DataFrame, incoming: DataFrame) -> DataFra
     e = existing.select(
         "pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith",
         F.col("confidence").alias("old_conf"), F.col("evidence").alias("old_ev"),
-        F.col("merge_count").alias("old_mc"),
+        F.col("merge_count").alias("old_mc"), F.col("first_emit").alias("old_fe"),
     )
     i = incoming.select(
         "pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith",
         F.col("confidence").alias("new_conf"), F.col("evidence").alias("new_ev"),
-        F.col("merge_count").alias("new_mc"),
+        F.col("merge_count").alias("new_mc"), F.col("first_emit").alias("new_fe"),
     )
     key = ["pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith"]
     return (
@@ -620,21 +667,30 @@ def merge_edges_incremental(existing: DataFrame, incoming: DataFrame) -> DataFra
             (
                 F.coalesce("old_mc", F.lit(0)) + F.coalesce("new_mc", F.lit(0))
             ).alias("merge_count"),
+            # least() skips nulls: the surviving first-writer ordinal
+            F.least("old_fe", "new_fe").alias("first_emit"),
         )
     )
 
 
 def merge_nodes_incremental(existing: DataFrame, incoming: DataFrame) -> DataFrame:
-    """Cross-batch node MERGE: ``SET n += props`` semantics — the incoming
-    batch (the later writer) wins properties, ``variants`` accumulates as
-    a sorted set union, ``mention_count`` sums (builder.py:404-408; union
-    semantics tests/test_graph.py:31-44)."""
+    """Cross-batch node MERGE: ``SET n += props`` semantics — the side
+    whose winning writer is GLOBALLY later (max ``best_conv/best_turn/
+    best_emit`` ordinal) wins properties, ``variants`` accumulates as a
+    sorted set union, ``mention_count`` sums (builder.py:404-408; union
+    semantics tests/test_graph.py:31-44).
+
+    Resolving the winner by ordinal (rather than "incoming wins") makes
+    the merge commutative: batches may replay or arrive out of writer
+    order and the result still equals the one-shot batch build."""
     key = ["label", "key"]
     e = existing.select(
         *key,
         F.col("name_ar").alias("old_name"), F.col("confidence").alias("old_conf"),
         F.col("variants").alias("old_variants"),
         F.col("mention_count").alias("old_count"),
+        F.col("best_conv").alias("old_bc"), F.col("best_turn").alias("old_bt"),
+        F.col("best_emit").alias("old_be"),
         F.col("book_ref").alias("old_book_ref"), F.col("chapter").alias("old_chapter"),
     )
     i = incoming.select(
@@ -642,13 +698,36 @@ def merge_nodes_incremental(existing: DataFrame, incoming: DataFrame) -> DataFra
         F.col("name_ar").alias("new_name"), F.col("confidence").alias("new_conf"),
         F.col("variants").alias("new_variants"),
         F.col("mention_count").alias("new_count"),
+        F.col("best_conv").alias("new_bc"), F.col("best_turn").alias("new_bt"),
+        F.col("best_emit").alias("new_be"),
         F.col("book_ref").alias("new_book_ref"), F.col("chapter").alias("new_chapter"),
     )
     empty_arr = F.array().cast("array<string>")
+    # incoming wins ties (replay of the same batch must be a no-op under
+    # the old "incoming wins" contract)
+    new_wins = F.col("old_bc").isNull() | (
+        F.col("new_bc").isNotNull()
+        & (
+            F.struct(
+                F.col("new_bc").alias("c"), F.col("new_bt").alias("t"),
+                F.col("new_be").alias("e"),
+            )
+            >= F.struct(
+                F.col("old_bc").alias("c"), F.col("old_bt").alias("t"),
+                F.col("old_be").alias("e"),
+            )
+        )
+    )
+
+    def pick(new_col: str, old_col: str) -> F.Column:
+        return F.when(new_wins, F.coalesce(new_col, old_col)).otherwise(
+            F.coalesce(old_col, new_col)
+        )
+
     return e.join(i, key, "full_outer").select(
         *key,
-        F.coalesce("new_name", "old_name").alias("name_ar"),
-        F.coalesce("new_conf", "old_conf").alias("confidence"),
+        pick("new_name", "old_name").alias("name_ar"),
+        pick("new_conf", "old_conf").alias("confidence"),
         F.array_sort(
             F.array_union(
                 F.coalesce("old_variants", empty_arr),
@@ -658,8 +737,11 @@ def merge_nodes_incremental(existing: DataFrame, incoming: DataFrame) -> DataFra
         (
             F.coalesce("old_count", F.lit(0)) + F.coalesce("new_count", F.lit(0))
         ).alias("mention_count"),
-        F.coalesce("new_book_ref", "old_book_ref").alias("book_ref"),
-        F.coalesce("new_chapter", "old_chapter").alias("chapter"),
+        pick("new_bc", "old_bc").alias("best_conv"),
+        pick("new_bt", "old_bt").alias("best_turn"),
+        pick("new_be", "old_be").alias("best_emit"),
+        pick("new_book_ref", "old_book_ref").alias("book_ref"),
+        pick("new_chapter", "old_chapter").alias("chapter"),
     )
 
 

@@ -666,7 +666,8 @@ _EDGE_MERGE_SQL = f"""
         SELECT pred, src_label, src_key, tgt_label, tgt_key, source_hadith,
                arg_min(confidence, emit_idx) AS confidence,
                arg_min(evidence, emit_idx) AS evidence,
-               COUNT(*) AS merge_count
+               COUNT(*) AS merge_count,
+               MIN(emit_idx) AS first_emit
         FROM read_parquet('{_EDGE_ROWS}')
         GROUP BY pred, src_label, src_key, tgt_label, tgt_key, source_hadith
 """

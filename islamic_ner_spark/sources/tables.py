@@ -284,5 +284,72 @@ class ParquetTableSink:
         shutil.rmtree(tmp, ignore_errors=True)
         new_df.unpersist()
 
+    # -- full-table rewrite (compaction) ----------------------------------
+
+    def replace_table(
+        self,
+        spark: SparkSession,
+        table_dir: str | Path,
+        df: DataFrame,
+        bucket_col,
+        batch_id: int,
+    ) -> None:
+        """Rewrite a bucketed table wholesale via a staged directory swap
+        — used by re-canonicalization compaction, where rows MOVE between
+        buckets (a merge-only protocol cannot remove a row from its old
+        bucket).
+
+        Crash windows: (a) staged dir incomplete -> old table intact, the
+        partial stage is discarded on the next attempt; (b) staged dir
+        complete (``_COMPLETE`` marker) but swap unfinished ->
+        :meth:`recover_replace` rolls FORWARD.  Every bucket carries the
+        usual ``_batch.json`` watermark so replayed micro-batches older
+        than the compaction skip their merge.  (An Iceberg sink replaces
+        all of this with one ``REPLACE TABLE ... AS SELECT`` snapshot
+        commit.)"""
+        import shutil
+
+        table_dir = Path(table_dir)
+        staged = table_dir.parent / f"_replace_{table_dir.name}"
+        old = table_dir.parent / f"_replaced_{table_dir.name}"
+        shutil.rmtree(staged, ignore_errors=True)
+        df.withColumn("bucket", bucket_col).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(str(staged))
+        for bucket_dir in staged.glob("bucket=*"):
+            (bucket_dir / "_batch.json").write_text(
+                json.dumps({"batch_id": batch_id})
+            )
+        (staged / "_COMPLETE").write_text("")
+        shutil.rmtree(old, ignore_errors=True)
+        if table_dir.exists():
+            table_dir.rename(old)
+        staged.rename(table_dir)
+        (table_dir / "_COMPLETE").unlink(missing_ok=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def recover_replace(self, table_dir: str | Path) -> None:
+        """Finish or discard an interrupted :meth:`replace_table`.
+        Idempotent; call before reading a table that compaction may have
+        been rewriting."""
+        import shutil
+
+        table_dir = Path(table_dir)
+        staged = table_dir.parent / f"_replace_{table_dir.name}"
+        old = table_dir.parent / f"_replaced_{table_dir.name}"
+        if staged.exists() and (staged / "_COMPLETE").exists():
+            # stage finished: roll forward
+            if table_dir.exists():
+                shutil.rmtree(old, ignore_errors=True)
+                table_dir.rename(old)
+            staged.rename(table_dir)
+            (table_dir / "_COMPLETE").unlink(missing_ok=True)
+        elif staged.exists():
+            # stage incomplete: discard, old table is authoritative
+            shutil.rmtree(staged, ignore_errors=True)
+        if not table_dir.exists() and old.exists():
+            old.rename(table_dir)  # crashed between renames
+        shutil.rmtree(old, ignore_errors=True)
+
 
 SINK = ParquetTableSink()

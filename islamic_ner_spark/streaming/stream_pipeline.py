@@ -141,6 +141,205 @@ def start_windowed_mention_stream(
     return writer.start()
 
 
+def compact_graph_stream(spark: SparkSession, graph_dir: str, gazetteer_bc: Broadcast) -> dict:
+    """Cross-batch re-canonicalization compaction — closes the documented
+    stream-vs-batch divergence of :func:`start_graph_stream` (which
+    canonicalizes "new" entities jointly within each micro-batch but
+    never across batches, so near-duplicate new entities arriving in
+    different batches keep distinct canonical keys).
+
+    A periodic batch maintenance job, O(graph) by design (amortized over
+    many O(touched-buckets) incremental batches):
+
+    1. identify the accumulated new-entity nodes — keys absent from the
+       gazetteer canonical dimension (exact/fuzzy-resolved keys are
+       always gazetteer canonicals; 'new' keys are cluster-min norm
+       texts, operators/linking.py);
+    2. re-run the SAME corpus-joint clustering kernel the batch pipeline
+       uses (``_canonicalize_new``: capped token blocking ->
+       SequenceMatcher >= 0.8 -> connected components) over their
+       accumulated variant vocabulary;
+    3. remap node keys / edge endpoint keys and re-aggregate with the
+       writer-ordinal merge rules (max ``best_*`` ordinal for node
+       props, min ``first_emit`` for same-turn edge dedup) — both
+       associative, so the compacted graph row-for-row equals the
+       one-shot batch build over the same input (tested);
+    4. atomically replace both bucketed tables via the sink's staged
+       directory swap (``SINK.replace_table``; rows move between
+       buckets, so the merge-only protocol cannot express this).
+
+    Returns counts for observability.  Reference semantics approximated:
+    entity_resolver.py:55-68 (corpus-joint new-entity resolution).
+    """
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.operators.graph import EDGE_KEY, NODE_LABELS
+    from islamic_ner_spark.operators.linking import _canonicalize_new
+    from islamic_ner_spark.sources.tables import SINK
+
+    graph_path = Path(graph_dir)
+    n_buckets = json.loads((graph_path / "_graph_meta.json").read_text())["n_buckets"]
+    marker = graph_path / "_last_batch.json"
+    batch_id = (
+        int(json.loads(marker.read_text())["batch_id"]) if marker.exists() else 0
+    )
+    for name in ("nodes", "edges"):
+        SINK.recover_replace(graph_path / name)
+        SINK.recover(graph_path / name)
+
+    nodes = spark.read.parquet(str(graph_path / "nodes")).drop("bucket")
+    edges = spark.read.parquet(str(graph_path / "edges")).drop("bucket")
+
+    # gazetteer canonical dimension: every exact/fuzzy-resolved key
+    type_for_label = {
+        label: etype for etype, label in NODE_LABELS.items() if label != "Hadith"
+    }
+    gaz = gazetteer_bc.value
+    known = sorted(
+        {(etype, canonical) for (_v, etype), canonical in gaz.canonical_map.items()}
+        | {
+            (str(meta["type"]), canonical)
+            for canonical, meta in gaz.entity_metadata.items()
+        }
+    )
+    known_df = spark.createDataFrame(known, "entity_type string, key string")
+    label_to_type = F.create_map(
+        *[F.lit(x) for pair in type_for_label.items() for x in pair]
+    )
+
+    typed = nodes.where(F.col("label") != "Hadith").withColumn(
+        "entity_type", label_to_type[F.col("label")]
+    )
+    new_nodes_tbl = typed.join(
+        F.broadcast(known_df), ["entity_type", "key"], "left_anti"
+    ).persist()
+
+    # accumulated variant vocabulary of the new-entity nodes, re-normalized
+    variants = new_nodes_tbl.select(
+        "entity_type", F.explode("variants").alias("text")
+    ).distinct()
+
+    def add_norm(batches):
+        from islamic_ner_spark.functions.normalize import normalize
+
+        for batch in batches:
+            batch = batch.copy()
+            batch["norm_text"] = [normalize(t or "") for t in batch["text"]]
+            yield batch
+
+    vocab = variants.mapInPandas(
+        add_norm, schema="entity_type string, text string, norm_text string"
+    )
+    canon = _canonicalize_new(spark, vocab)
+    # an old key is the norm of one of its variants, so it appears in the
+    # vocabulary and gets exactly one joint canonical (re-clustering over
+    # a superset can only merge old clusters, never split them)
+    remap = (
+        canon.select(
+            "entity_type",
+            F.col("norm_text").alias("key"),
+            F.col("canonical_name").alias("new_key"),
+        )
+        .where(F.col("key") != F.col("new_key"))
+        .join(new_nodes_tbl.select("entity_type", "key").distinct(),
+              ["entity_type", "key"])
+        .persist()
+    )
+    n_remapped = remap.count()
+
+    # --- nodes: remap keys, re-aggregate with the last-writer ordinal ----
+    remapped_nodes = (
+        typed.join(F.broadcast(remap), ["entity_type", "key"], "left")
+        .withColumn("key", F.coalesce("new_key", "key"))
+        .drop("new_key", "entity_type")
+        .unionByName(nodes.where(F.col("label") == "Hadith"))
+    )
+    winner = F.max(
+        F.struct(
+            "best_conv", "best_turn", "best_emit",
+            "name_ar", "confidence", "book_ref", "chapter",
+        )
+    ).alias("w")
+    compact_nodes = (
+        remapped_nodes.groupBy("label", "key")
+        .agg(
+            winner,
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("variants")))
+            ).alias("variants"),
+            F.sum("mention_count").alias("mention_count"),
+        )
+        .select(
+            "label", "key",
+            F.col("w.name_ar").alias("name_ar"),
+            F.col("w.confidence").alias("confidence"),
+            "variants", "mention_count",
+            F.col("w.best_conv").alias("best_conv"),
+            F.col("w.best_turn").alias("best_turn"),
+            F.col("w.best_emit").alias("best_emit"),
+            F.col("w.book_ref").alias("book_ref"),
+            F.col("w.chapter").alias("chapter"),
+        )
+    )
+
+    # --- edges: remap endpoint keys, re-dedupe with the first-writer rule
+    type_to_label = F.create_map(
+        *[F.lit(x) for label, etype in type_for_label.items() for x in (etype, label)]
+    )
+    edge_remap = remap.select(
+        type_to_label[F.col("entity_type")].alias("r_label"),
+        F.col("key").alias("r_key"),
+        "new_key",
+    )
+    edges1 = (
+        edges.join(
+            F.broadcast(edge_remap),
+            (F.col("src_label") == F.col("r_label"))
+            & (F.col("src_key") == F.col("r_key")),
+            "left",
+        )
+        .withColumn("src_key", F.coalesce("new_key", "src_key"))
+        .drop("r_label", "r_key", "new_key")
+        .join(
+            F.broadcast(edge_remap),
+            (F.col("tgt_label") == F.col("r_label"))
+            & (F.col("tgt_key") == F.col("r_key")),
+            "left",
+        )
+        .withColumn("tgt_key", F.coalesce("new_key", "tgt_key"))
+        .drop("r_label", "r_key", "new_key")
+    )
+    edge_winner = F.min(F.struct("first_emit", "confidence", "evidence")).alias("w")
+    compact_edges = (
+        edges1.groupBy(*EDGE_KEY)
+        .agg(edge_winner, F.sum("merge_count").alias("merge_count"))
+        .select(
+            *EDGE_KEY,
+            F.col("w.confidence").alias("confidence"),
+            F.col("w.evidence").alias("evidence"),
+            "merge_count",
+            F.col("w.first_emit").alias("first_emit"),
+        )
+    )
+
+    edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(n_buckets)).cast("int")
+    node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(n_buckets)).cast("int")
+    SINK.replace_table(spark, graph_path / "edges", compact_edges, edge_bucket, batch_id)
+    SINK.replace_table(spark, graph_path / "nodes", compact_nodes, node_bucket, batch_id)
+
+    stats = {
+        "remapped_keys": int(n_remapped),
+        "nodes": spark.read.parquet(str(graph_path / "nodes")).count(),
+        "edges": spark.read.parquet(str(graph_path / "edges")).count(),
+    }
+    remap.unpersist()
+    new_nodes_tbl.unpersist()
+    return stats
+
+
 def recover_bucket_swaps(table_dir) -> None:
     """Finish/undo an interrupted per-bucket swap (see
     :func:`start_graph_stream`).  Delegates to the parquet table sink —
