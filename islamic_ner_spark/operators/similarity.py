@@ -387,6 +387,159 @@ def embedding_near_duplicates(
     return numeric_groups(comp)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    *,
+    n_cells: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Deterministic spherical k-means centroids for an IVF index.
+
+    Init: the ``n_cells`` vectors with the smallest ``md5(seed:id)``
+    digests — a seeded pseudo-random sample with no RNG state, picked by
+    a distributed TopK (ORDER BY digest LIMIT n_cells: only ``n_cells``
+    rows ever reach the driver), so the result is reproducible across
+    engines/partitionings.  Refinement:
+    ``n_iters`` distributed Lloyd rounds — assignment is a broadcast
+    matrix product in Arrow batches (narrow, no shuffle), the per-cell
+    mean is one (cell, dim)-keyed aggregation of ``n_cells * dim``
+    floats.  Centroids are L2-normalized (cosine geometry).  The
+    centroid list is tiny (``n_cells ~ sqrt(N)``) and lives on the
+    driver; at 100 TB the assignment pass — the only O(N) work — stays
+    a single narrow map per iteration.
+    """
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    init = (
+        emb.select(digest.alias("_rk"), id_col, vec_col)
+        .orderBy("_rk")
+        .limit(n_cells)
+        .collect()
+    )
+    # deterministic cell numbering: the digest order (already sorted)
+    centroids = np.array([np.asarray(r[2], dtype=np.float64) for r in init])
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(n_iters):
+        assigned = assign_cells(emb, centroids.tolist(), id_col=id_col, vec_col=vec_col)
+        sums = (
+            assigned.join(
+                emb.select(F.col(id_col).alias("vid"), vec_col), "vid"
+            )
+            .select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        for row in sums:
+            acc.setdefault(row["cell"], np.zeros(centroids.shape[1]))[row["pos"]] = (
+                row["s"] / row["n"]
+            )
+        for cell, vec in acc.items():
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                new[cell] = vec / nrm
+        centroids = new
+    return centroids.tolist()
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(vid, cell[, probe_rank]) — each vector's ``nprobe`` nearest
+    centroids by cosine (ties broken by lowest cell id).  One narrow
+    Arrow pass; the centroid matrix rides in the task closure."""
+    mat_broadcast = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat = mat_broadcast.value  # (n_cells, dim), unit rows
+        for batch in batches:
+            if not len(batch):
+                yield pd.DataFrame({"vid": [], "cell": [], "probe_rank": []})
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            cos = (vecs / norms) @ cmat.T  # (n, n_cells)
+            # stable top-nprobe: sort by (-cos, cell) for deterministic ties
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(cos.shape[1]), cos.shape), -cos), axis=1
+            )[:, :nprobe]
+            n = len(batch)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(batch[id_col].to_numpy(), nprobe),
+                    "cell": order.ravel().astype("int32"),
+                    "probe_rank": np.tile(np.arange(nprobe, dtype="int32"), n),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema="vid long, cell int, probe_rank int"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` k-means cells (default ``~sqrt(N)``), probe each query's
+    ``nprobe`` nearest cells, exact-rescore only those candidates.
+
+    The structural scale contract (unlike LSH, independent of the data
+    distribution): a query's candidate set is ~``nprobe/n_cells`` of
+    the corpus, so with ``n_cells ~ sqrt(N)`` total work is
+    ``O(Q * nprobe * sqrt(N))``.  Candidates come from an equi-join on
+    ``cell`` — the same relational tail as the LSH variants
+    (:func:`topk_from_candidates`), independently replayable by a SQL
+    oracle over staged assignments."""
+    if n_cells is None:
+        n_cells = max(4, int(math.isqrt(max(1, emb.count()))))
+    centroids = kmeans_centroids(
+        emb, n_cells=n_cells, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    assigned = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+    probes = assign_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(F.col("vid").alias("qid"), "cell")
+    candidates = (
+        probes.join(assigned.select("vid", "cell"), "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    return topk_from_candidates(
+        emb, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame) -> float:
     """Recall of the approximate neighbor set vs the exact one."""
     hits = approx.select("qid", "nid").intersect(exact.select("qid", "nid")).count()

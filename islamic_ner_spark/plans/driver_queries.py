@@ -442,6 +442,31 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_from_candidates(emb, queries, candidates, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: staged coarse-quantizer cell assignments joined against
+    each query's nprobe probe cells, exact cosine re-score of candidates
+    only, per-query rank.  Candidate volume is structurally
+    ~nprobe/n_cells of the corpus — the distribution-independent ANN
+    scale path (operators/similarity.ivf_topk)."""
+    from islamic_ner_spark.operators.similarity import topk_from_candidates
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_ann_stage(spark, sf_dir)
+    assigned = spark.read.parquet(staging.stage_path("ann", "ivf_assign"))
+    probes = spark.read.parquet(staging.stage_path("ann", "ivf_probes")).select(
+        F.col("vid").alias("qid"), "cell"
+    )
+    candidates = (
+        probes.join(assigned, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < staging.ANN_N_QUERIES)
+    return topk_from_candidates(emb, queries, candidates, k=5)
+
+
 def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label token share over the staged annotate labels; the share
     is exact integer milli-percent so no float rounding can drift
@@ -484,6 +509,7 @@ QUERIES = {
     "neardup_jaccard": q_neardup_jaccard,
     "neardup_embedding": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "label_distribution": q_label_distribution,
 }
 
@@ -643,6 +669,8 @@ _SIMHASH_SIGS = _staging.stage_glob("dedup", "simhash_sigs")
 _ANN_SIGS = _staging.stage_glob("ann", "ann_sigs")
 _ANN_PROBES = _staging.stage_glob("ann", "ann_query_probes")
 _EMBDUP_SIGS = _staging.stage_glob("ann", "emb_neardup_sigs")
+_IVF_ASSIGN = _staging.stage_glob("ann", "ivf_assign")
+_IVF_PROBES = _staging.stage_glob("ann", "ivf_probes")
 
 
 def _components_ctes(pairs_cte: str) -> str:
@@ -916,6 +944,40 @@ ORACLE_SQL.update({
             FROM probes p
             JOIN capped c ON p.band_id = c.band_id AND p.band_hash = c.band_hash
             WHERE p.vid <> c.vid
+        ),
+        vecs AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id, vec, sqrt(list_sum([x * x FOR x IN vec])) AS nrm
+            FROM vecs
+        ),
+        scored AS (
+            SELECT cand.qid, cand.nid,
+                   CAST(round(list_sum([q.vec[i] * n.vec[i] FOR i IN range(1, 65)])
+                              / (q.nrm * n.nrm) * 1000000, 0) AS BIGINT) AS cos_x1e6
+            FROM cand
+            JOIN norms q ON cand.qid = q.vec_id
+            JOIN norms n ON cand.nid = n.vec_id
+        ),
+        ranked AS (
+            SELECT qid, nid, cos_x1e6,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_x1e6 DESC, nid ASC) AS BIGINT)
+                       AS rank
+            FROM scored
+        )
+        SELECT qid, rank, nid, cos_x1e6 FROM ranked WHERE rank <= 5
+    """,
+    "ivf_topk": f"""
+        WITH assign AS (SELECT vid, cell FROM read_parquet('{_IVF_ASSIGN}')),
+        probes AS (SELECT vid AS qid, cell FROM read_parquet('{_IVF_PROBES}')),
+        cand AS (
+            SELECT DISTINCT p.qid, a.vid AS nid
+            FROM probes p
+            JOIN assign a ON p.cell = a.cell
+            WHERE p.qid <> a.vid
         ),
         vecs AS (
             SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec

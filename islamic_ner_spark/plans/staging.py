@@ -26,7 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STAGE_VERSION = "r3-2"
+STAGE_VERSION = "r3-3"
 STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
 
 # the flagship entry() (__spark_entry__.py) and the staged KG dataflow
@@ -45,6 +45,7 @@ SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: full recall
 ANN_BANDS = 8
 ANN_N_QUERIES = 20
 ANN_PROBE_RADIUS = 1  # query-side multiprobe: recall without loosening buckets
+IVF_NPROBE = 4
 EMBDUP_THRESHOLD_X1E6 = 800_000  # perturbed twins score ~0.87-0.93; others < 0.52
 
 
@@ -244,7 +245,12 @@ def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
       two staged tables;
     * ``emb_neardup_sigs`` — signatures over the perturbed corpus with
       :func:`hyperplane_params`-derived (planes, bands) targeting 95%
-      recall at the near-dup cosine threshold.
+      recall at the near-dup cosine threshold;
+    * ``ivf_assign`` / ``ivf_probes`` — IVF coarse-quantizer cell
+      assignments (corpus, nearest cell) and query probe cells
+      (``IVF_NPROBE`` nearest), from deterministic k-means centroids —
+      the candidate join is again a pure equi-join of two staged tables
+      either engine can run.
     """
     if _is_current("ann", sf_dir):
         return
@@ -253,8 +259,10 @@ def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
     import math
 
     from islamic_ner_spark.operators.similarity import (
+        assign_cells,
         hyperplane_params,
         hyperplane_signatures,
+        kmeans_centroids,
     )
     from pyspark.sql import functions as _F
 
@@ -271,6 +279,16 @@ def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
             n_planes=ann_planes, bands=ANN_BANDS, probe_radius=ANN_PROBE_RADIUS,
         ),
         "ann", "ann_query_probes",
+    )
+
+    centroids = kmeans_centroids(emb, n_cells=max(4, math.isqrt(max(1, n))))
+    _write(assign_cells(emb, centroids).select("vid", "cell"), "ann", "ivf_assign")
+    _write(
+        assign_cells(
+            emb.where(_F.col("vec_id") < ANN_N_QUERIES), centroids,
+            nprobe=IVF_NPROBE,
+        ).select("vid", "cell"),
+        "ann", "ivf_probes",
     )
 
     dup = embeddings_with_perturbed(spark, sf_dir)

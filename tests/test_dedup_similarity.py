@@ -279,3 +279,41 @@ def test_jaccard_scores_integer_parity(spark) -> None:
         if key == (2, 3):
             continue  # verify_jaccard_pairs treats "" as {''}; documented diff
         assert abs(val - floats[key] * 1_000_000) <= 1
+
+
+def test_ivf_topk_recall_and_candidate_bound(embeddings, spark) -> None:
+    """IVF coarse quantizer: candidates are structurally ~nprobe/n_cells
+    of the corpus (distribution-independent, unlike LSH), recall on the
+    probed cells is useful, and the whole operator is deterministic
+    across input partitionings."""
+    from islamic_ner_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    n = embeddings.count()
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = ivf_topk(embeddings, queries, k=5, n_cells=16, nprobe=4)
+    recall = topk_recall(approx, exact)
+    assert recall >= 0.4, recall
+
+    # candidate bound: probing nprobe of n_cells cells touches roughly
+    # that fraction of the corpus per query (x2 slack for uneven cells)
+    centroids = kmeans_centroids(embeddings, n_cells=16)
+    assigned = assign_cells(embeddings, centroids)
+    probes = assign_cells(queries, centroids, nprobe=4).select(
+        F.col("vid").alias("qid"), "cell"
+    )
+    n_cand = (
+        probes.join(assigned.select("vid", "cell"), "cell")
+        .select("qid", "vid").distinct().count()
+    )
+    assert n_cand <= 10 * (4 / 16) * n * 2, n_cand
+
+    # determinism: same result from a different input partitioning
+    again = ivf_topk(
+        embeddings.repartition(7), queries, k=5, n_cells=16, nprobe=4
+    )
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
