@@ -228,6 +228,13 @@ def ensure_dedup_stage(spark: SparkSession, sf_dir: str) -> None:
     # the blake2b minhash kernel per consumer
     sigs = _write(minhash_signatures(corpus), "dedup", "minhash_sigs")
     candidates = _write(lsh_candidate_pairs(sigs), "dedup", "minhash_candidates")
+    from islamic_ner_spark.operators.capping import log_candidate_stats
+
+    log_candidate_stats(
+        "minhash-lsh (staged)",
+        n_candidates=candidates.count(),
+        corpus_size=corpus.count(),
+    )
     verified = verify_jaccard_pairs(candidates, corpus, threshold=MINHASH_THRESHOLD)
     _write(verified.select("id_a", "id_b"), "dedup", "minhash_pairs")
     _write(simhash_signatures(corpus), "dedup", "simhash_sigs")

@@ -325,3 +325,38 @@ def test_compaction_matches_batch_build(spark, tmp_path) -> None:
         batch.nodes.columns
     )
     assert rows(got2) == batch_nodes
+
+
+def test_kg_stream_job_cli(spark, tmp_path) -> None:
+    """The spark-submit streaming entry point wires stream + compaction."""
+    import datetime
+    import json as json_mod
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import kg_stream_job
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [("c1", 0, "user", "حدثنا مالك عن نافع", "", ts)]
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(input_dir)
+
+    kg_stream_job.main([
+        "--input", input_dir,
+        "--graph-dir", str(tmp_path / "graph"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--n-buckets", "8",
+        "--available-now",
+    ])
+    assert spark.read.parquet(str(tmp_path / "graph" / "edges")).count() > 0
+
+    stats_path = tmp_path / "stats.json"
+    kg_stream_job.main([
+        "--graph-dir", str(tmp_path / "graph"),
+        "--compact",
+        "--stats-json", str(stats_path),
+    ])
+    stats = json_mod.loads(stats_path.read_text())
+    assert stats["edges"] > 0 and stats["nodes"] > 0
