@@ -360,3 +360,85 @@ def test_kg_stream_job_cli(spark, tmp_path) -> None:
     ])
     stats = json_mod.loads(stats_path.read_text())
     assert stats["edges"] > 0 and stats["nodes"] > 0
+
+
+def test_compaction_edge_first_writer_merge(spark, tmp_path) -> None:
+    """When re-canonicalization makes two SAME-TURN edges collide, the
+    in-batch dedupe rule is replayed from the stored ordinals: the row
+    with the smaller first_emit supplies confidence+evidence wholly,
+    merge_count sums; the merged node takes the later writer's name
+    (max best_* ordinal) and unions variants."""
+    import json as json_mod
+
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.operators.graph import EDGE_KEY
+    from islamic_ner_spark.streaming.stream_pipeline import compact_graph_stream
+
+    graph = tmp_path / "graph"
+    graph.mkdir()
+    (graph / "_graph_meta.json").write_text(json_mod.dumps({"n_buckets": 4}))
+    (graph / "_last_batch.json").write_text(json_mod.dumps({"batch_id": 3}))
+
+    node_schema = (
+        "label string, key string, name_ar string, confidence double, "
+        "variants array<string>, mention_count long, best_conv string, "
+        "best_turn int, best_emit long, book_ref string, chapter string"
+    )
+    # two invented narrators whose normalized variants cluster jointly
+    # (SequenceMatcher 0.96, shared block token) but arrived in
+    # different batches so the stream kept them distinct
+    nodes = spark.createDataFrame(
+        [
+            ("Scholar", "زربقان الاول", "زربقان الاول", 0.5,
+             ["زربقان الاول"], 1, "c1", 0, 3_000_000_000, None, None),
+            ("Scholar", "زربقان الاولي", "زربقان الاولي", 0.5,
+             ["زربقان الاولي"], 1, "c2", 0, 3_000_000_002, None, None),
+            ("Scholar", "مالك", "مالك", 1.0,
+             ["مالك"], 2, "c2", 0, 3_000_000_003, None, None),
+        ],
+        node_schema,
+    )
+    edge_schema = (
+        "pred string, src_label string, src_key string, tgt_label string, "
+        "tgt_key string, source_hadith string, confidence double, "
+        "evidence string, merge_count long, first_emit long"
+    )
+    edges = spark.createDataFrame(
+        [
+            ("NARRATED_FROM", "Scholar", "زربقان الاول", "Scholar", "مالك",
+             "c9:0", 0.9, "isnad connector", 1, 0),
+            ("NARRATED_FROM", "Scholar", "زربقان الاولي", "Scholar", "مالك",
+             "c9:0", 0.7, "adjacent scholars", 1, 2),
+        ],
+        edge_schema,
+    )
+    nb = F.pmod(F.xxhash64("label", "key"), F.lit(4)).cast("int")
+    eb = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(4)).cast("int")
+    nodes.withColumn("bucket", nb).write.partitionBy("bucket").parquet(str(graph / "nodes"))
+    edges.withColumn("bucket", eb).write.partitionBy("bucket").parquet(str(graph / "edges"))
+
+    gazetteer_bc = spark.sparkContext.broadcast(Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR))
+    stats = compact_graph_stream(spark, str(graph), gazetteer_bc)
+    assert stats["remapped_keys"] == 1
+
+    got_edges = {
+        tuple(r)
+        for r in spark.read.parquet(str(graph / "edges")).select(
+            "pred", "src_key", "tgt_key", "confidence", "evidence",
+            "merge_count", "first_emit",
+        ).collect()
+    }
+    # cluster canonical = min norm text; first writer (emit 0) wins payload
+    assert got_edges == {
+        ("NARRATED_FROM", "زربقان الاول", "مالك", 0.9, "isnad connector", 2, 0)
+    }
+
+    merged = {
+        r["key"]: r
+        for r in spark.read.parquet(str(graph / "nodes")).collect()
+    }
+    node = merged["زربقان الاول"]
+    assert node["name_ar"] == "زربقان الاولي"  # later writer (c2) wins
+    assert node["variants"] == ["زربقان الاول", "زربقان الاولي"]
+    assert node["mention_count"] == 2
