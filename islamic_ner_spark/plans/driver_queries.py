@@ -442,6 +442,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_from_candidates(emb, queries, candidates, k=5)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data admission pipeline over the perturbed
+    corpus: quality filters -> exact dedup -> near-dup cluster survivor
+    rule, one attributable (doc_id, status) row per document
+    (operators/curation.curate_corpus)."""
+    from islamic_ner_spark.operators.components import (
+        connected_components,
+        numeric_groups,
+    )
+    from islamic_ner_spark.operators.curation import curate_corpus
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_dedup_stage(spark, sf_dir)
+    pairs = spark.read.parquet(staging.stage_path("dedup", "minhash_pairs"))
+    groups = numeric_groups(
+        connected_components(
+            pairs.select(
+                F.col("id_a").cast("string").alias("src"),
+                F.col("id_b").cast("string").alias("dst"),
+            )
+        )
+    )
+    corpus = staging.documents_with_perturbed(spark, sf_dir)
+    return curate_corpus(corpus, groups).orderBy("doc_id")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: staged coarse-quantizer cell assignments joined against
     each query's nprobe probe cells, exact cosine re-score of candidates
@@ -510,6 +536,7 @@ QUERIES = {
     "neardup_embedding": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "corpus_curation": q_corpus_curation,
     "label_distribution": q_label_distribution,
 }
 
@@ -969,6 +996,56 @@ ORACLE_SQL.update({
             FROM scored
         )
         SELECT qid, rank, nid, cos_x1e6 FROM ranked WHERE rank <= 5
+    """,
+    "corpus_curation": f"""
+        WITH RECURSIVE
+        {_components_ctes(f'''pairs AS (
+            SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst
+            FROM read_parquet('{_MINHASH_PAIRS}')
+            WHERE id_a <> id_b
+        )''')},
+        groups AS (
+            SELECT CAST(node AS BIGINT) AS id,
+                   MIN(CAST(node AS BIGINT)) OVER (PARTITION BY component)
+                       AS grp
+            FROM comp
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, substr(text, 13) AS text
+            FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, text,
+                CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 5
+                     THEN 'short'
+                     WHEN floor(length(regexp_replace(text, '\\s', '', 'g')) * 100.0
+                                / len(regexp_split_to_array(trim(text), '\\s+')))
+                          NOT BETWEEN 200 AND 2500
+                     THEN 'low_quality'
+                END AS q_status
+            FROM corpus
+        ),
+        survivors AS (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM flagged WHERE q_status IS NULL
+        ),
+        es AS (
+            SELECT s.doc_id, g.grp
+            FROM survivors s LEFT JOIN groups g ON s.doc_id = g.id
+            WHERE s.doc_id = s.keep_id
+        )
+        SELECT doc_id, q_status AS status FROM flagged WHERE q_status IS NOT NULL
+        UNION ALL
+        SELECT doc_id, 'exact_dup' AS status FROM survivors WHERE doc_id <> keep_id
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN grp IS NOT NULL
+                         AND doc_id <> MIN(doc_id) OVER (
+                             PARTITION BY COALESCE(grp, doc_id))
+                    THEN 'near_dup' ELSE 'kept' END AS status
+        FROM es
     """,
     "ivf_topk": f"""
         WITH assign AS (SELECT vid, cell FROM read_parquet('{_IVF_ASSIGN}')),
