@@ -34,17 +34,19 @@ def cap_buckets(
 ) -> DataFrame:
     """Drop (and log) over-capacity buckets/blocks from ``banded``.
 
-    ``banded`` is persisted here: the overflow check and the downstream
-    candidate self-join otherwise each re-run the kernel that produced
-    it.  Pass ``persisted`` (a list the cache is appended to) from
-    long-running callers so they can ``unpersist()`` once the candidate
-    join has materialized — otherwise the cached blocks live until
-    Spark's LRU reclaims them.
+    When ``persisted`` (a list) is given, ``banded`` is cached and
+    appended to it so the caller can ``unpersist()`` once the candidate
+    join has materialized — the overflow check and the downstream
+    self-join otherwise each re-run the kernel that produced it.  With
+    no tracking list the input is deliberately NOT cached: recomputing
+    it twice is bounded work, whereas an untracked cache would leak
+    until Spark's LRU reclaims it (e.g. a driver invoking the query
+    catalog in a loop).
     """
     if max_bucket_size is None:
         return banded
-    banded = banded.persist()
     if persisted is not None:
+        banded = banded.persist()
         persisted.append(banded)
 
     bucket_w = Window.partitionBy(*key_cols)

@@ -35,6 +35,15 @@ log = logging.getLogger(__name__)
 MAX_BUCKET_SIZE = 5_000
 
 
+def hyperplane_bits(n_docs: int) -> int:
+    """Bits per LSH band: ``max(8, ceil(log2 n_docs))`` — an uncorrelated
+    pair collides in one band w.p. ``2^-bits <= 1/n_docs``, which keeps
+    expected random candidate pairs linear in corpus size.  Single-sourced:
+    the operator defaults, :func:`hyperplane_params`, and the oracle
+    staging all derive band width from here."""
+    return max(8, math.ceil(math.log2(max(2, n_docs))))
+
+
 def hyperplane_params(
     n_docs: int,
     *,
@@ -59,7 +68,7 @@ def hyperplane_params(
     near-duplicate embeddings sit above that.  The estimated recall is
     logged so the operating point is never silent.
     """
-    k = max(8, math.ceil(math.log2(max(2, n_docs))))
+    k = hyperplane_bits(n_docs)
     p = 1.0 - math.acos(max(-1.0, min(1.0, min_cos))) / math.pi
     p_band = p ** k
     if p_band >= 1.0:
@@ -220,10 +229,7 @@ def lsh_topk(
     buckets above ``max_bucket_size`` are dropped with a logged warning.
     """
     if n_planes is None:
-        import math as _math
-
-        bits = max(8, _math.ceil(_math.log2(max(2, emb.count()))))
-        n_planes = bits * bands
+        n_planes = hyperplane_bits(emb.count()) * bands
     corpus_sig = hyperplane_signatures(
         emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, bands=bands, seed=seed
     )
@@ -349,9 +355,15 @@ def embedding_near_duplicates(
     candidate:corpus ratio is logged per build, and over-capacity
     buckets are dropped with a warning — pruning failure is never
     silent."""
+    if (n_planes is None) != (bands is None):
+        raise ValueError(
+            "pass BOTH n_planes and bands, or neither (derived via "
+            "hyperplane_params) — a half-specified sizing would be "
+            "silently overridden"
+        )
     caches: list = []
     n_docs = None
-    if n_planes is None or bands is None:
+    if n_planes is None:
         n_docs = emb.count()
         n_planes, bands = hyperplane_params(
             n_docs, min_cos=threshold_x1e6 / 1e6
@@ -469,6 +481,8 @@ def assign_cells(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cmat = mat_broadcast.value  # (n_cells, dim), unit rows
+        # a tiny corpus can yield fewer centroids than nprobe
+        probes = min(nprobe, cmat.shape[0])
         for batch in batches:
             if not len(batch):
                 yield pd.DataFrame({"vid": [], "cell": [], "probe_rank": []})
@@ -481,13 +495,13 @@ def assign_cells(
             # stable top-nprobe: sort by (-cos, cell) for deterministic ties
             order = np.lexsort(
                 (np.broadcast_to(np.arange(cos.shape[1]), cos.shape), -cos), axis=1
-            )[:, :nprobe]
+            )[:, :probes]
             n = len(batch)
             yield pd.DataFrame(
                 {
-                    "vid": np.repeat(batch[id_col].to_numpy(), nprobe),
+                    "vid": np.repeat(batch[id_col].to_numpy(), probes),
                     "cell": order.ravel().astype("int32"),
-                    "probe_rank": np.tile(np.arange(nprobe, dtype="int32"), n),
+                    "probe_rank": np.tile(np.arange(probes, dtype="int32"), n),
                 }
             )
 

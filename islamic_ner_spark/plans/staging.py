@@ -267,6 +267,7 @@ def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
 
     from islamic_ner_spark.operators.similarity import (
         assign_cells,
+        hyperplane_bits,
         hyperplane_params,
         hyperplane_signatures,
         kmeans_centroids,
@@ -275,7 +276,7 @@ def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    ann_planes = max(8, math.ceil(math.log2(max(2, n)))) * ANN_BANDS
+    ann_planes = hyperplane_bits(n) * ANN_BANDS
     _write(
         hyperplane_signatures(emb, n_planes=ann_planes, bands=ANN_BANDS),
         "ann", "ann_sigs",

@@ -136,15 +136,23 @@ class ParquetTableSink:
               confidence  = greatest(t.confidence, s.confidence),
               evidence    = CASE WHEN t.evidence <> '' THEN t.evidence
                                  ELSE s.evidence END,
-              merge_count = t.merge_count + s.merge_count
+              merge_count = t.merge_count + s.merge_count,
+              first_emit  = least(t.first_emit, s.first_emit)
             WHEN NOT MATCHED THEN INSERT *
 
-      - nodes (key ``(label, key)``)::
+      - nodes (key ``(label, key)``) — properties resolve by the
+        writer-ordinal comparison (graph.merge_nodes_incremental), NOT
+        blind incoming-wins, so out-of-order batches stay correct::
 
             MERGE INTO kg_nodes t USING batch s
             ON t.label = s.label AND t.key = s.key
-            WHEN MATCHED THEN UPDATE SET        -- later writer wins props
-              name_ar = s.name_ar, confidence = s.confidence,
+            WHEN MATCHED THEN UPDATE SET
+              name_ar    = CASE WHEN (s.best_conv, s.best_turn, s.best_emit)
+                                     >= (t.best_conv, t.best_turn, t.best_emit)
+                                THEN s.name_ar ELSE t.name_ar END,
+              confidence = CASE WHEN ... same ordinal test ...
+                                THEN s.confidence ELSE t.confidence END,
+              best_conv/best_turn/best_emit = the winning ordinal,
               book_ref = coalesce(s.book_ref, t.book_ref),
               chapter = coalesce(s.chapter, t.chapter),
               variants = array_sort(array_union(t.variants, s.variants)),
@@ -234,6 +242,11 @@ class ParquetTableSink:
         import shutil
 
         table_dir = Path(table_dir)
+        # an interrupted compaction (replace_table) must be resolved
+        # BEFORE bucket-level recovery reads the table — a half-swapped
+        # replace leaves table_dir missing/stale, and merging a
+        # micro-batch into that state would orphan the accumulated graph
+        self.recover_replace(table_dir)
         self.recover(table_dir)
         new_df = new_df.withColumn("bucket", bucket_col).persist()
         touched = sorted(

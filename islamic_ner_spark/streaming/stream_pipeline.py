@@ -27,6 +27,46 @@ from islamic_ner_spark.operators.ner import annotate_transcripts
 from islamic_ner_spark.operators.relations import extract_triples
 from islamic_ner_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
 
+# bumped whenever the persistent node/edge table schemas change (v2 added
+# the writer-ordinal columns first_emit / best_conv / best_turn /
+# best_emit); pinned in _graph_meta.json so a restart with mismatched
+# code fails loudly instead of dying with an AnalysisException (or
+# silently merging mixed schemas)
+GRAPH_SCHEMA_VERSION = 2
+
+
+def _check_graph_meta(graph_path, n_buckets: int | None = None) -> dict:
+    """Validate (or initialize) a graph dir's pinned meta: bucket count
+    must never change across restarts (a different hash would orphan
+    rows), and the table schema version must match this code."""
+    import json
+    from pathlib import Path
+
+    meta_file = Path(graph_path) / "_graph_meta.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+        stored_version = meta.get("schema_version", 1)
+        if stored_version != GRAPH_SCHEMA_VERSION:
+            raise ValueError(
+                f"graph dir {graph_path} holds schema_version={stored_version} "
+                f"tables; this code writes v{GRAPH_SCHEMA_VERSION} "
+                "(writer-ordinal columns). Rebuild the graph dir or migrate "
+                "the tables before restarting."
+            )
+        if n_buckets is not None and meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"graph dir {graph_path} was built with "
+                f"n_buckets={meta.get('n_buckets')}; restarting with "
+                f"n_buckets={n_buckets} would corrupt it — pass the "
+                "original value"
+            )
+        return meta
+    if n_buckets is None:
+        raise FileNotFoundError(f"no _graph_meta.json under {graph_path}")
+    meta = {"n_buckets": n_buckets, "schema_version": GRAPH_SCHEMA_VERSION}
+    meta_file.write_text(json.dumps(meta))
+    return meta
+
 
 def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-source stream with the input_hint schema."""
@@ -181,14 +221,26 @@ def compact_graph_stream(spark: SparkSession, graph_dir: str, gazetteer_bc: Broa
     from islamic_ner_spark.sources.tables import SINK
 
     graph_path = Path(graph_dir)
-    n_buckets = json.loads((graph_path / "_graph_meta.json").read_text())["n_buckets"]
+    n_buckets = _check_graph_meta(graph_path)["n_buckets"]
+    for name in ("nodes", "edges"):
+        SINK.recover_replace(graph_path / name)
+        SINK.recover(graph_path / name)
+
+    # watermark to stamp the rewritten buckets with: the max batch id any
+    # bucket has already absorbed (NOT just the _last_batch marker — a
+    # crash between a bucket merge and the marker write leaves buckets
+    # AHEAD of the marker, and stamping those back down would let a
+    # replayed batch double-merge)
     marker = graph_path / "_last_batch.json"
     batch_id = (
         int(json.loads(marker.read_text())["batch_id"]) if marker.exists() else 0
     )
     for name in ("nodes", "edges"):
-        SINK.recover_replace(graph_path / name)
-        SINK.recover(graph_path / name)
+        for meta in (graph_path / name).glob("bucket=*/_batch.json"):
+            try:
+                batch_id = max(batch_id, int(json.loads(meta.read_text())["batch_id"]))
+            except (OSError, ValueError, KeyError):
+                continue
 
     nodes = spark.read.parquet(str(graph_path / "nodes")).drop("bucket")
     edges = spark.read.parquet(str(graph_path / "edges")).drop("bucket")
@@ -499,21 +551,11 @@ def start_graph_stream(
     graph_path.mkdir(parents=True, exist_ok=True)
     marker = graph_path / "_last_batch.json"
 
-    # bucket assignment must never change across restarts of the same
-    # graph dir — a different n_buckets would rehash keys into buckets
-    # the merge never reconciles (silent row loss).  Pin it in a meta
-    # file and refuse a mismatched restart.
-    meta_file = graph_path / "_graph_meta.json"
-    if meta_file.exists():
-        stored = json.loads(meta_file.read_text()).get("n_buckets")
-        if stored != n_buckets:
-            raise ValueError(
-                f"graph dir {graph_dir} was built with n_buckets={stored}; "
-                f"restarting with n_buckets={n_buckets} would corrupt it — "
-                "pass the original value"
-            )
-    else:
-        meta_file.write_text(json.dumps({"n_buckets": n_buckets}))
+    # bucket assignment and table schema must never change across
+    # restarts of the same graph dir — a different n_buckets would
+    # rehash keys into buckets the merge never reconciles (silent row
+    # loss), and an older schema would break the ordinal merges.
+    _check_graph_meta(graph_path, n_buckets)
 
     edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(n_buckets)).cast("int")
     node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(n_buckets)).cast("int")

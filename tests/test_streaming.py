@@ -377,7 +377,11 @@ def test_compaction_edge_first_writer_merge(spark, tmp_path) -> None:
 
     graph = tmp_path / "graph"
     graph.mkdir()
-    (graph / "_graph_meta.json").write_text(json_mod.dumps({"n_buckets": 4}))
+    from islamic_ner_spark.streaming.stream_pipeline import GRAPH_SCHEMA_VERSION
+
+    (graph / "_graph_meta.json").write_text(
+        json_mod.dumps({"n_buckets": 4, "schema_version": GRAPH_SCHEMA_VERSION})
+    )
     (graph / "_last_batch.json").write_text(json_mod.dumps({"batch_id": 3}))
 
     node_schema = (
@@ -442,3 +446,89 @@ def test_compaction_edge_first_writer_merge(spark, tmp_path) -> None:
     assert node["name_ar"] == "زربقان الاولي"  # later writer (c2) wins
     assert node["variants"] == ["زربقان الاول", "زربقان الاولي"]
     assert node["mention_count"] == 2
+
+
+def test_merge_buckets_recovers_interrupted_replace(spark, tmp_path) -> None:
+    """A compaction (replace_table) crash that left the live table dir
+    renamed away must be rolled forward/back by merge_buckets BEFORE the
+    next micro-batch merges — otherwise the accumulated graph is
+    orphaned and the batch becomes the only content."""
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.sources.tables import SINK
+
+    table = tmp_path / "t"
+    bcol = F.pmod(F.col("k"), F.lit(2)).cast("int")
+    SINK.replace_table(
+        spark, table, spark.createDataFrame([(1, 10)], "k long, n long"), bcol, 1
+    )
+    # crash window: live dir displaced, replacement never swapped in
+    table.rename(tmp_path / "_replaced_t")
+
+    SINK.merge_buckets(
+        spark, table,
+        spark.createDataFrame([(2, 20)], "k long, n long"),
+        bcol, lambda old, new: old.drop("bucket").unionByName(new.drop("bucket")),
+        batch_id=2,
+    )
+    got = {(r["k"], r["n"]) for r in spark.read.parquet(str(table)).collect()}
+    assert got == {(1, 10), (2, 20)}  # old row recovered, new row merged
+
+
+def test_compaction_stamps_max_bucket_watermark(spark, tmp_path) -> None:
+    """Buckets already ahead of the _last_batch marker (crash between a
+    bucket merge and the marker write) must keep their high watermark
+    through compaction, or a replayed batch would double-merge."""
+    import json as json_mod
+
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.operators.graph import EDGE_KEY
+    from islamic_ner_spark.streaming.stream_pipeline import (
+        GRAPH_SCHEMA_VERSION,
+        compact_graph_stream,
+    )
+
+    graph = tmp_path / "graph"
+    graph.mkdir()
+    (graph / "_graph_meta.json").write_text(
+        json_mod.dumps({"n_buckets": 2, "schema_version": GRAPH_SCHEMA_VERSION})
+    )
+    (graph / "_last_batch.json").write_text(json_mod.dumps({"batch_id": 3}))
+
+    node_schema = (
+        "label string, key string, name_ar string, confidence double, "
+        "variants array<string>, mention_count long, best_conv string, "
+        "best_turn int, best_emit long, book_ref string, chapter string"
+    )
+    nodes = spark.createDataFrame(
+        [("Scholar", "مالك", "مالك", 1.0, ["مالك"], 1, "c1", 0, 1, None, None)],
+        node_schema,
+    )
+    edge_schema = (
+        "pred string, src_label string, src_key string, tgt_label string, "
+        "tgt_key string, source_hadith string, confidence double, "
+        "evidence string, merge_count long, first_emit long"
+    )
+    edges = spark.createDataFrame(
+        [("NARRATED_FROM", "Scholar", "مالك", "Scholar", "نافع", "c1:0",
+          0.9, "ev", 1, 0)],
+        edge_schema,
+    )
+    nb = F.pmod(F.xxhash64("label", "key"), F.lit(2)).cast("int")
+    eb = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(2)).cast("int")
+    nodes.withColumn("bucket", nb).write.partitionBy("bucket").parquet(str(graph / "nodes"))
+    edges.withColumn("bucket", eb).write.partitionBy("bucket").parquet(str(graph / "edges"))
+    # one edge bucket is AHEAD of the marker (merged batch 7, marker write lost)
+    bucket_dir = next((graph / "edges").glob("bucket=*"))
+    (bucket_dir / "_batch.json").write_text(json_mod.dumps({"batch_id": 7}))
+
+    gazetteer_bc = spark.sparkContext.broadcast(Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR))
+    compact_graph_stream(spark, str(graph), gazetteer_bc)
+
+    stamped = {
+        int(json_mod.loads(p.read_text())["batch_id"])
+        for name in ("nodes", "edges")
+        for p in (graph / name).glob("bucket=*/_batch.json")
+    }
+    assert stamped == {7}
