@@ -63,12 +63,19 @@ def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", norm.alias("norm_text"))
 
 
+_BPE_ISH = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11/P12-style token counting per document."""
+    """P11/P12-style token counting per document: whitespace tokens plus
+    a BPE-ish pre-tokenizer count (letter runs / digit runs / symbol
+    runs — the GPT-2-style split both Java regex and RE2 express
+    identically)."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(_BPE_ISH)).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     ).where(F.length(F.trim("text")) > 0)
 
@@ -552,9 +559,11 @@ ORACLE_SQL = {
                    '\\s+', ' ', 'g')) AS norm_text
         FROM documents
     """,
-    "token_stats": """
+    "token_stats": f"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT)
+                   AS n_bpe_tokens,
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
         WHERE length(trim(text)) > 0
