@@ -20,6 +20,11 @@ every timed phase also records the container cgroup CPU-seconds it
 burned and the host 1-min loadavg at its start.  Wall time that swings
 while cpu_s stays flat is external load, not a code regression — the
 evidence ships in the JSON so a reader never has to re-run to tell.
+Two reading caveats: load1 after the first phase includes the decaying
+contribution of OUR OWN just-finished JVM threads (compare against
+`cpus`, not zero), and under heavy host contention the cgroup counter
+itself inflates (vCPU-seconds include hypervisor-stolen slices), so
+cpu_s comparisons are meaningful between runs in similar load windows.
 The short SQL headliners additionally run $SPARK_GRAFT_BEST_OF times
 (default 2) keeping the best wall time; the KG build runs once (it is
 long enough to average noise, and its cpu_s is the ground truth).
