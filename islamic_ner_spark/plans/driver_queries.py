@@ -500,6 +500,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_from_candidates(emb, queries, candidates, k=5)
 
 
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind stats over the multimodal table: byte volume recomputed
+    from the staged binary payloads in BOTH engines, decoded dimensions
+    aggregated from the staged Arrow decode output (integer sums — no
+    float drift)."""
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_media_stage(spark, sf_dir)
+    raw = spark.read.parquet(staging.stage_path("media", "media_raw"))
+    decoded = spark.read.parquet(staging.stage_path("media", "media_decoded"))
+    joined = raw.select(
+        "media_id", "kind", F.length("payload").cast("long").alias("n_bytes")
+    ).join(decoded.select("media_id", "width", "height", "n_frames"), "media_id")
+    return joined.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+    )
+
+
 def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label token share over the staged annotate labels; the share
     is exact integer milli-percent so no float rounding can drift
@@ -544,6 +566,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "corpus_curation": q_corpus_curation,
+    "multimodal_stats": q_multimodal_stats,
     "label_distribution": q_label_distribution,
 }
 
@@ -707,6 +730,8 @@ _ANN_PROBES = _staging.stage_glob("ann", "ann_query_probes")
 _EMBDUP_SIGS = _staging.stage_glob("ann", "emb_neardup_sigs")
 _IVF_ASSIGN = _staging.stage_glob("ann", "ivf_assign")
 _IVF_PROBES = _staging.stage_glob("ann", "ivf_probes")
+_MEDIA_RAW = _staging.stage_glob("media", "media_raw")
+_MEDIA_DECODED = _staging.stage_glob("media", "media_decoded")
 
 
 def _components_ctes(pairs_cte: str) -> str:
@@ -1089,6 +1114,27 @@ ORACLE_SQL.update({
             FROM scored
         )
         SELECT qid, rank, nid, cos_x1e6 FROM ranked WHERE rank <= 5
+    """,
+    "multimodal_stats": f"""
+        WITH raw AS (
+            SELECT media_id, kind,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes
+            FROM read_parquet('{_MEDIA_RAW}')
+        ),
+        dec AS (
+            SELECT media_id, width, height, n_frames
+            FROM read_parquet('{_MEDIA_DECODED}')
+        )
+        SELECT kind,
+               COUNT(*) AS n_items,
+               -- CAST: DuckDB promotes integer SUMs to HUGEINT, which the
+               -- dtype-sensitive value hash rejects
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(width) AS BIGINT) AS sum_width,
+               CAST(SUM(height) AS BIGINT) AS sum_height,
+               CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+        FROM raw JOIN dec USING (media_id)
+        GROUP BY kind
     """,
     "label_distribution": f"""
         WITH lab AS (

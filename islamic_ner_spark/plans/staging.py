@@ -241,6 +241,25 @@ def ensure_dedup_stage(spark: SparkSession, sf_dir: str) -> None:
     _mark("dedup", sf_dir)
 
 
+def ensure_media_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the multimodal pipeline's kernel outputs: ``media_raw``
+    (synthetic binary payloads + typed metadata, one row per document)
+    and ``media_decoded`` (the Arrow-batched header decode).  The oracle
+    recomputes payload byte lengths directly from the staged binary
+    column (octet_length) and replays the per-kind aggregation — the
+    decode kernel itself is pytest-gated (tests/test_multimodal.py)."""
+    if _is_current("media", sf_dir):
+        return
+    _reset("media")
+
+    from islamic_ner_spark.operators.multimodal import decode_media, synthetic_media
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    raw = _write(synthetic_media(spark, n_docs), "media", "media_raw")
+    _write(decode_media(raw), "media", "media_decoded")
+    _mark("media", sf_dir)
+
+
 def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
     """Stage hyperplane-LSH signatures, sized per corpus:
 
