@@ -15,6 +15,9 @@ from completed work — the annotate stage at bucket granularity, later
 stages whole-table (plans/pipeline.build_graph).  In local smoke runs
 the same script works with a plain `python` invocation because
 islamic_ner_spark is importable from the repo root.
+
+For continuous ingestion of a transcripts stream (plus the periodic
+re-canonicalization compaction), use scripts/kg_stream_job.py instead.
 """
 
 from __future__ import annotations
