@@ -24,6 +24,16 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger("islamic_ner_spark.capping")
 
+# Bounded registry for caches nobody tracks (callers that pass no
+# ``persisted`` list, e.g. the driver query catalog): the newest few
+# inputs stay cached so the overflow-report job, the window-cap plan,
+# and the downstream candidate join all reuse ONE kernel run, while the
+# oldest entries are explicitly unpersisted — a loop over the catalog
+# holds at most ``_AUTO_CACHE_LIMIT`` kernels in memory instead of
+# leaking until Spark's LRU notices.
+_AUTO_CACHE_LIMIT = 4
+_auto_cached: list[DataFrame] = []
+
 
 def cap_buckets(
     banded: DataFrame,
@@ -34,20 +44,22 @@ def cap_buckets(
 ) -> DataFrame:
     """Drop (and log) over-capacity buckets/blocks from ``banded``.
 
-    When ``persisted`` (a list) is given, ``banded`` is cached and
-    appended to it so the caller can ``unpersist()`` once the candidate
-    join has materialized — the overflow check and the downstream
-    self-join otherwise each re-run the kernel that produced it.  With
-    no tracking list the input is deliberately NOT cached: recomputing
-    it twice is bounded work, whereas an untracked cache would leak
-    until Spark's LRU reclaims it (e.g. a driver invoking the query
-    catalog in a loop).
+    ``banded`` is always cached — the overflow check, the window-cap
+    plan, and the downstream candidate self-join would otherwise each
+    re-run the (expensive) kernel that produced it.  When ``persisted``
+    (a list) is given the cache is appended to it and the caller owns
+    the ``unpersist()``; otherwise it lands in a bounded module-level
+    registry that unpersists the oldest entries as new ones arrive.
     """
     if max_bucket_size is None:
         return banded
+    banded = banded.persist()
     if persisted is not None:
-        banded = banded.persist()
         persisted.append(banded)
+    else:
+        _auto_cached.append(banded)
+        while len(_auto_cached) > _AUTO_CACHE_LIMIT:
+            _auto_cached.pop(0).unpersist()
 
     bucket_w = Window.partitionBy(*key_cols)
     capped = banded.withColumn(

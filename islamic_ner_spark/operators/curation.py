@@ -6,8 +6,10 @@ each exist standalone; this composes them in admission order into one
 pipeline actually runs, where every drop needs an attributable reason:
 
 * ``short``       — fewer than ``min_words`` whitespace words;
-* ``low_quality`` — average word length (x100, integer) outside
-  ``[min_awl_x100, max_awl_x100]`` (gibberish / run-on detector);
+* ``low_quality`` — average word length outside
+  ``[min_awl_x100, max_awl_x100]`` x100 (gibberish / run-on detector),
+  decided by cross-multiplied integer comparison
+  (``n_chars * 100  vs  bound * n_words``) — no division at all;
 * ``exact_dup``   — same ``md5(text)`` as a surviving smaller doc_id
   (dedup runs over the quality-surviving subset: a rejected doc never
   claims a keep slot);
@@ -18,10 +20,12 @@ pipeline actually runs, where every drop needs an attributable reason:
   the earlier stages deterministically;
 * ``kept``        — admitted.
 
-Every decision is integer/string-exact (no floats), so an independent
-SQL engine reproduces the status column bit-for-bit — the paired DuckDB
-oracle (``corpus_curation``) replays quality filters, hash dedup, and
-the cluster-survivor rule from the same staged pair table.
+Every decision is integer/string-exact — the word-length bounds are
+cross-multiplied integer comparisons, not float division — so an
+independent SQL engine reproduces the status column bit-for-bit — the
+paired DuckDB oracle (``corpus_curation``) replays quality filters,
+hash dedup, and the cluster-survivor rule from the same staged pair
+table.
 
 Scale shape: two window functions over hash/cluster keys (shuffled by
 key, map-side combinable), one broadcast-size join against the cluster
@@ -51,14 +55,21 @@ def curate_corpus(
     or the staged equivalent); singletons absent.
     """
     words = F.split(F.trim(text_col), r"\s+")
-    awl = F.floor(
-        F.length(F.regexp_replace(text_col, r"\s", "")) * 100 / F.size(words)
-    )
+    n_words = F.size(words)
+    # integer-exact bounds: floor(chars*100 / words) < lo  <=>
+    # chars*100 < lo*words, and floor(...) > hi  <=>  chars*100 >=
+    # (hi+1)*words — cross-multiplication keeps every comparison in
+    # integer arithmetic (same statuses as the floor form, no division)
+    n_chars_x100 = F.length(F.regexp_replace(text_col, r"\s", "")) * 100
     flagged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
-        F.when(F.size(words) < min_words, F.lit("short"))
-        .when((awl < min_awl_x100) | (awl > max_awl_x100), F.lit("low_quality"))
+        F.when(n_words < min_words, F.lit("short"))
+        .when(
+            (n_chars_x100 < min_awl_x100 * n_words)
+            | (n_chars_x100 >= (max_awl_x100 + 1) * n_words),
+            F.lit("low_quality"),
+        )
         .alias("q_status"),
     )
     rejected = flagged.where(F.col("q_status").isNotNull()).select(

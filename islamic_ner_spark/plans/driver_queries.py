@@ -1051,12 +1051,15 @@ ORACLE_SQL.update({
             FROM documents
         ),
         flagged AS (
+            -- integer-exact bounds (cross-multiplication, no division):
+            -- matches operators/curation.curate_corpus bit-for-bit
             SELECT doc_id, text,
                 CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 5
                      THEN 'short'
-                     WHEN floor(length(regexp_replace(text, '\\s', '', 'g')) * 100.0
-                                / len(regexp_split_to_array(trim(text), '\\s+')))
-                          NOT BETWEEN 200 AND 2500
+                     WHEN length(regexp_replace(text, '\\s', '', 'g')) * 100
+                          < 200 * len(regexp_split_to_array(trim(text), '\\s+'))
+                       OR length(regexp_replace(text, '\\s', '', 'g')) * 100
+                          >= 2501 * len(regexp_split_to_array(trim(text), '\\s+'))
                      THEN 'low_quality'
                 END AS q_status
             FROM corpus

@@ -26,7 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STAGE_VERSION = "r3-3"
+STAGE_VERSION = "r4-1"
 STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
 
 # the flagship entry() (__spark_entry__.py) and the staged KG dataflow

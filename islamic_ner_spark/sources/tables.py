@@ -30,6 +30,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_manifest.json"
+COMPACT_LOCK_NAME = "_compact.lock"
+
+
+def compaction_lock_path(graph_dir: str | Path) -> Path:
+    return Path(graph_dir) / COMPACT_LOCK_NAME
+
+
+def _lock_holder_alive(lock: Path) -> bool:
+    """True when the lock file names a live pid (same container)."""
+    import os
+
+    try:
+        pid = int(json.loads(lock.read_text())["pid"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except (ProcessLookupError, PermissionError):
+        return False
+    return True
+
+
+def acquire_compaction_lock(graph_dir: str | Path) -> Path:
+    """Exclusive whole-graph maintenance lock (compaction / rebucketing):
+    while held, :meth:`ParquetTableSink.merge_buckets` refuses to merge
+    micro-batches into the graph's tables — a concurrent stream batch
+    merged mid-compaction would be silently discarded by the table swap.
+    A lock whose recorded pid is dead (crashed compaction) is stolen.
+    Caller must ``release_compaction_lock`` in a finally block."""
+    import os
+
+    lock = compaction_lock_path(graph_dir)
+    for _ in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if _lock_holder_alive(lock):
+                raise RuntimeError(
+                    f"graph maintenance already running on {graph_dir} "
+                    f"(live lock {lock}); wait for it or remove a stale lock"
+                )
+            lock.unlink(missing_ok=True)  # dead holder: steal
+            continue
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps({"pid": os.getpid(), "at": int(time.time())}))
+        return lock
+    raise RuntimeError(f"could not acquire {lock} after stale-steal retry")
+
+
+def release_compaction_lock(graph_dir: str | Path) -> None:
+    compaction_lock_path(graph_dir).unlink(missing_ok=True)
 
 
 def manifest_path(table_path: str | Path) -> Path:
@@ -242,6 +293,17 @@ class ParquetTableSink:
         import shutil
 
         table_dir = Path(table_dir)
+        # refuse while a LIVE compaction/rebucket holds the graph lock:
+        # its wholesale table swap would silently discard this merge.
+        # (A dead holder's lock is ignored — recover_replace below
+        # resolves whatever state the crash left.)
+        lock = compaction_lock_path(table_dir.parent)
+        if lock.exists() and _lock_holder_alive(lock):
+            raise RuntimeError(
+                f"graph maintenance (compaction/rebucket) is running on "
+                f"{table_dir.parent} — a merge now would be lost in its "
+                "table swap; retry after it finishes"
+            )
         # an interrupted compaction (replace_table) must be resolved
         # BEFORE bucket-level recovery reads the table — a half-swapped
         # replace leaves table_dir missing/stale, and merging a

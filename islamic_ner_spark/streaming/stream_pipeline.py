@@ -42,6 +42,14 @@ def _check_graph_meta(graph_path, n_buckets: int | None = None) -> dict:
     import json
     from pathlib import Path
 
+    intent = Path(graph_path) / "_rebucket_intent.json"
+    if intent.exists():
+        pending = json.loads(intent.read_text()).get("new_n_buckets")
+        raise RuntimeError(
+            f"graph dir {graph_path} has an interrupted rebucket to "
+            f"{pending} buckets — run rebucket_graph(graph_dir, {pending}) "
+            "to finish it before streaming or compacting"
+        )
     meta_file = Path(graph_path) / "_graph_meta.json"
     if meta_file.exists():
         meta = json.loads(meta_file.read_text())
@@ -181,6 +189,44 @@ def start_windowed_mention_stream(
     return writer.start()
 
 
+def graph_batch_watermark(graph_path) -> int:
+    """The batch id a whole-graph rewrite (compaction / rebucket) may
+    stamp onto every bucket: the ``_last_batch`` marker value, after
+    verifying no bucket is AHEAD of it.
+
+    A bucket watermark > marker means the stream crashed mid-
+    ``merge_buckets`` — some buckets absorbed batch N, others did not,
+    and the marker was never advanced.  Raises ``RuntimeError`` with
+    the recovery action (restart the stream so the checkpoint replays
+    batch N to completion) because neither stamping up (silent row loss
+    in the behind buckets on replay) nor down (double-merge in the
+    ahead buckets) is safe in that state."""
+    import json
+    from pathlib import Path
+
+    graph_path = Path(graph_path)
+    marker = graph_path / "_last_batch.json"
+    marker_id = (
+        int(json.loads(marker.read_text())["batch_id"]) if marker.exists() else -1
+    )
+    ahead = marker_id
+    for name in ("nodes", "edges"):
+        for meta in graph_path.glob(f"{name}/bucket=*/_batch.json"):
+            try:
+                ahead = max(ahead, int(json.loads(meta.read_text())["batch_id"]))
+            except (OSError, ValueError, KeyError):
+                continue
+    if ahead > marker_id:
+        raise RuntimeError(
+            f"graph {graph_path} is partially absorbed: bucket watermark "
+            f"{ahead} is ahead of the _last_batch marker {marker_id} (the "
+            f"stream crashed mid-merge of batch {ahead}) — restart the "
+            f"stream to finish replaying batch {ahead} before compacting "
+            "or rebucketing"
+        )
+    return max(marker_id, 0)
+
+
 def compact_graph_stream(spark: SparkSession, graph_dir: str, gazetteer_bc: Broadcast) -> dict:
     """Cross-batch re-canonicalization compaction — closes the documented
     stream-vs-batch divergence of :func:`start_graph_stream` (which
@@ -208,39 +254,48 @@ def compact_graph_stream(spark: SparkSession, graph_dir: str, gazetteer_bc: Broa
        directory swap (``SINK.replace_table``; rows move between
        buckets, so the merge-only protocol cannot express this).
 
+    Safety: takes the graph's exclusive maintenance lock (a concurrent
+    micro-batch merge would be silently discarded by the table swap —
+    ``SINK.merge_buckets`` refuses while the lock is live), and refuses
+    to run when the graph is in a PARTIALLY-ABSORBED state — some
+    bucket's watermark is ahead of the ``_last_batch`` marker, i.e. the
+    stream crashed mid-``merge_buckets``.  In that state no single
+    stamp is safe: stamping up would mark the behind buckets as already
+    holding the unfinished batch (its replay would skip them — silent
+    row loss), stamping down would double-merge the ahead buckets.  The
+    stream must be restarted to finish replaying that batch first.
+
     Returns counts for observability.  Reference semantics approximated:
     entity_resolver.py:55-68 (corpus-joint new-entity resolution).
     """
-    import json
     from pathlib import Path
 
+    from islamic_ner_spark.sources.tables import (
+        acquire_compaction_lock,
+        release_compaction_lock,
+    )
+
+    graph_path = Path(graph_dir)
+    n_buckets = _check_graph_meta(graph_path)["n_buckets"]
+    acquire_compaction_lock(graph_path)
+    try:
+        return _compact_graph_locked(spark, graph_path, gazetteer_bc, n_buckets)
+    finally:
+        release_compaction_lock(graph_path)
+
+
+def _compact_graph_locked(spark, graph_path, gazetteer_bc, n_buckets) -> dict:
     from pyspark.sql import functions as F
 
     from islamic_ner_spark.operators.graph import EDGE_KEY, NODE_LABELS
     from islamic_ner_spark.operators.linking import _canonicalize_new
     from islamic_ner_spark.sources.tables import SINK
 
-    graph_path = Path(graph_dir)
-    n_buckets = _check_graph_meta(graph_path)["n_buckets"]
     for name in ("nodes", "edges"):
         SINK.recover_replace(graph_path / name)
         SINK.recover(graph_path / name)
 
-    # watermark to stamp the rewritten buckets with: the max batch id any
-    # bucket has already absorbed (NOT just the _last_batch marker — a
-    # crash between a bucket merge and the marker write leaves buckets
-    # AHEAD of the marker, and stamping those back down would let a
-    # replayed batch double-merge)
-    marker = graph_path / "_last_batch.json"
-    batch_id = (
-        int(json.loads(marker.read_text())["batch_id"]) if marker.exists() else 0
-    )
-    for name in ("nodes", "edges"):
-        for meta in (graph_path / name).glob("bucket=*/_batch.json"):
-            try:
-                batch_id = max(batch_id, int(json.loads(meta.read_text())["batch_id"]))
-            except (OSError, ValueError, KeyError):
-                continue
+    batch_id = graph_batch_watermark(graph_path)
 
     nodes = spark.read.parquet(str(graph_path / "nodes")).drop("bucket")
     edges = spark.read.parquet(str(graph_path / "edges")).drop("bucket")
@@ -390,6 +445,93 @@ def compact_graph_stream(spark: SparkSession, graph_dir: str, gazetteer_bc: Broa
     remap.unpersist()
     new_nodes_tbl.unpersist()
     return stats
+
+
+def rebucket_graph(spark: SparkSession, graph_dir: str, new_n_buckets: int) -> dict:
+    """Re-hash a streamed graph's bucketed tables to ``new_n_buckets``.
+
+    ``n_buckets`` is pinned at stream start (a different modulus would
+    orphan rows from the incremental merge), but at 10^12-turn scale the
+    initial bucket count eventually saturates — per-bucket rewrites grow
+    with graph size instead of batch size.  This maintenance job rewrites
+    both tables under the new modulus using the same staged-swap protocol
+    as compaction, then updates the pinned meta so subsequent stream
+    restarts use the new assignment.
+
+    Protocol (stream must be stopped, like compaction):
+
+    1. take the graph maintenance lock (micro-batch merges refuse while
+       it is live) and verify no partially-absorbed batch
+       (:func:`graph_batch_watermark`);
+    2. write a ``_rebucket_intent.json`` BEFORE touching the tables —
+       a crash between the two table swaps (or before the meta update)
+       leaves the graph with mixed bucket moduli, so
+       :func:`_check_graph_meta` refuses to stream/compact while the
+       intent file exists and directs the operator to re-run this
+       function (idempotent: table CONTENT is bucket-layout-independent,
+       so re-replacing both tables under the new modulus from any mixed
+       state converges);
+    3. ``SINK.replace_table`` each table with the new bucket column and
+       the current batch watermark;
+    4. update ``_graph_meta.json`` -> remove the intent marker.
+    """
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.operators.graph import EDGE_KEY
+    from islamic_ner_spark.sources.tables import (
+        SINK,
+        acquire_compaction_lock,
+        release_compaction_lock,
+    )
+
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    graph_path = Path(graph_dir)
+    meta_file = graph_path / "_graph_meta.json"
+    if not meta_file.exists():
+        raise FileNotFoundError(f"no _graph_meta.json under {graph_path}")
+    meta = json.loads(meta_file.read_text())
+    if meta.get("schema_version", 1) != GRAPH_SCHEMA_VERSION:
+        raise ValueError(
+            f"graph dir {graph_path} holds schema_version="
+            f"{meta.get('schema_version', 1)} tables; this code writes "
+            f"v{GRAPH_SCHEMA_VERSION}"
+        )
+    intent = graph_path / "_rebucket_intent.json"
+    acquire_compaction_lock(graph_path)
+    try:
+        if intent.exists():
+            pending = json.loads(intent.read_text()).get("new_n_buckets")
+            if pending != new_n_buckets:
+                raise RuntimeError(
+                    f"interrupted rebucket to {pending} buckets pending — "
+                    f"re-run with new_n_buckets={pending} to finish it "
+                    f"before rebucketing to {new_n_buckets}"
+                )
+        for name in ("nodes", "edges"):
+            SINK.recover_replace(graph_path / name)
+            SINK.recover(graph_path / name)
+        batch_id = graph_batch_watermark(graph_path)
+        intent.write_text(json.dumps({"new_n_buckets": new_n_buckets}))
+
+        edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(new_n_buckets)).cast("int")
+        node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(new_n_buckets)).cast("int")
+        stats = {"n_buckets": new_n_buckets}
+        for name, bucket_col in (("edges", edge_bucket), ("nodes", node_bucket)):
+            table = graph_path / name
+            df = spark.read.parquet(str(table)).drop("bucket")
+            SINK.replace_table(spark, table, df, bucket_col, batch_id)
+            stats[name] = spark.read.parquet(str(table)).count()
+
+        meta["n_buckets"] = new_n_buckets
+        meta_file.write_text(json.dumps(meta))
+        intent.unlink()
+        return stats
+    finally:
+        release_compaction_lock(graph_path)
 
 
 def recover_bucket_swaps(table_dir) -> None:

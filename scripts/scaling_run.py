@@ -171,11 +171,16 @@ def main() -> None:
         )
         for p in pairs
     )
-    if pairs:
-        chosen = min(pairs, key=pair_cost)
-        results = {n_small: chosen["small"], n_large: chosen["large"]}
-    if not results:
-        raise SystemExit("no measured legs and no usable seed")
+    if not pairs:
+        # per-leg bests from different load windows are a cross-window
+        # ratio — exactly what the pair protocol exists to avoid — so
+        # refuse rather than report a number that estimates nothing
+        raise SystemExit(
+            "no complete same-invocation pair (crashed leg, repeats=0, or "
+            "a seed file without _pairs) — re-run with repeats >= 1"
+        )
+    chosen = min(pairs, key=pair_cost)
+    results = {n_small: chosen["small"], n_large: chosen["large"]}
 
     tp8 = results[n_small]["triples_per_sec"]
     tp32 = results[n_large]["triples_per_sec"]

@@ -317,3 +317,64 @@ def test_ivf_topk_recall_and_candidate_bound(embeddings, spark) -> None:
         embeddings.repartition(7), queries, k=5, n_cells=16, nprobe=4
     )
     assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_kmeans_trainer_matches_numpy_reference(embeddings) -> None:
+    """The shuffle-free trainer (partial sums fused into the assignment
+    Arrow pass) computes the SAME centroids as a driver-side numpy
+    replay of seeded-init + Lloyd — i.e. the plan change did not change
+    the math."""
+    import hashlib
+
+    import numpy as np
+
+    from islamic_ner_spark.operators.similarity import kmeans_centroids
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    n_cells = 8
+    order = sorted(
+        vecs, key=lambda vid: hashlib.md5(f"7:{vid}".encode()).hexdigest()
+    )[:n_cells]
+    cent = np.array([vecs[v] for v in order])
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    mat = np.array([vecs[v] for v in sorted(vecs)])
+    normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    for _ in range(2):
+        nearest = np.argmax(normed @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(n_cells):
+            members = mat[nearest == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                nrm = np.linalg.norm(mean)
+                if nrm > 1e-12:
+                    new[c] = mean / nrm
+        cent = new
+    got = np.array(kmeans_centroids(embeddings, n_cells=n_cells, n_iters=2))
+    assert np.allclose(got, cent, atol=1e-9), float(np.abs(got - cent).max())
+
+
+def test_kmeans_refinement_has_no_corpus_shuffle(embeddings) -> None:
+    """Scale contract of the Lloyd round: the corpus never enters an
+    exchange — each task emits <= n_cells partial rows, and the only
+    shuffle in the refinement aggregation is over those partials (no
+    join against the corpus anywhere in the plan)."""
+    from islamic_ner_spark.operators.similarity import (
+        cell_partial_sums,
+        kmeans_centroids,
+    )
+
+    cent = kmeans_centroids(embeddings, n_cells=8, n_iters=0)
+    partials = cell_partial_sums(embeddings, cent)
+    n_parts = embeddings.rdd.getNumPartitions()
+    assert partials.count() <= n_parts * 8
+
+    sums = (
+        partials.select("cell", "n", F.posexplode("sum_vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"), F.sum("n").alias("n"))
+    )
+    plan = sums._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
