@@ -522,6 +522,71 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGE_OUT_COLS = [
+    "pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith",
+    "confidence", "evidence", "merge_count", "first_emit",
+]
+
+
+def q_kg_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED edge table: flagship transcripts split into
+    micro-batches -> bucketed incremental MERGE -> cross-batch
+    re-canonicalization compaction (streaming/stream_pipeline.py).  The
+    oracle replays the one-shot BATCH edge-MERGE SQL over the kg-staged
+    candidate rows — a green row proves stream + compaction == batch
+    inside the driver's correctness gate (builder.py:404-443 MERGE
+    idempotency)."""
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)  # the oracle's input
+    staging.ensure_stream_stage(spark, sf_dir)
+    return spark.read.parquet(staging.stage_path("stream", "edges")).select(
+        *_EDGE_OUT_COLS
+    )
+
+
+def q_kg_stream_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED node table (same dataflow as q_kg_stream_edges);
+    oracle = the batch node-MERGE SQL over kg-staged candidate rows
+    (writer-ordinal winner + variant set-union)."""
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    staging.ensure_stream_stage(spark, sf_dir)
+    return spark.read.parquet(staging.stage_path("stream", "nodes")).select(
+        "label",
+        "key",
+        "name_ar",
+        "confidence",
+        F.concat_ws("|", "variants").alias("variants"),
+        "mention_count",
+    )
+
+
+def q_model_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-path NER over long documents (M12 executable in-sandbox):
+    per-document word count, predicted-entity count, label-sequence
+    fingerprint, and integer confidence sum from the staged chunked
+    numpy-encoder predictions — both engines recompute them from the
+    same arrays (word_window=120 / max_seq=512 per
+    scripts/build_graph.py:182-278)."""
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_model_stage(spark, sf_dir)
+    preds = spark.read.parquet(staging.stage_path("model", "predictions"))
+    conf_units = F.transform("confidences", lambda c: F.floor(c * 1e6).cast("long"))
+    return preds.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_words"),
+        F.size(F.filter("labels", lambda l: l.startswith("B-")))
+        .cast("long")
+        .alias("n_entities"),
+        F.md5(F.concat_ws("|", "labels")).alias("labels_fp"),
+        F.aggregate(conf_units, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("conf_sum_x1e6"),
+    )
+
+
 def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label token share over the staged annotate labels; the share
     is exact integer milli-percent so no float rounding can drift
@@ -568,6 +633,12 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "multimodal_stats": q_multimodal_stats,
     "label_distribution": q_label_distribution,
+    # streaming graph maintenance (stream + compaction == batch, checked
+    # against the BATCH merge SQL over the kg-staged rows)
+    "kg_stream_edges": q_kg_stream_edges,
+    "kg_stream_nodes": q_kg_stream_nodes,
+    # model-NER path (deterministic numpy encoder, chunked core)
+    "model_ner": q_model_ner,
 }
 
 
@@ -732,6 +803,7 @@ _IVF_ASSIGN = _staging.stage_glob("ann", "ivf_assign")
 _IVF_PROBES = _staging.stage_glob("ann", "ivf_probes")
 _MEDIA_RAW = _staging.stage_glob("media", "media_raw")
 _MEDIA_DECODED = _staging.stage_glob("media", "media_decoded")
+_MODEL_PREDS = _staging.stage_glob("model", "predictions")
 
 
 def _components_ctes(pairs_cte: str) -> str:
@@ -1138,6 +1210,44 @@ ORACLE_SQL.update({
                CAST(SUM(n_frames) AS BIGINT) AS sum_frames
         FROM raw JOIN dec USING (media_id)
         GROUP BY kind
+    """,
+    # the streamed graph vs the BATCH merge replay over kg-staged rows:
+    # identical SQL to kg_edges / kg_nodes by construction — the whole
+    # point is that the incrementally-built-then-compacted tables must
+    # equal the one-shot batch aggregation row for row.
+    "kg_stream_edges": _EDGE_MERGE_SQL,
+    "kg_stream_nodes": f"""
+        WITH rows_ AS (SELECT * FROM read_parquet('{_NODE_ROWS}')),
+        winners AS (
+            SELECT label, key, original_text, confidence,
+                   row_number() OVER (
+                       PARTITION BY label, key
+                       ORDER BY conv_id DESC, turn_idx DESC, emit_idx DESC
+                   ) AS rn
+            FROM rows_
+        ),
+        aggs AS (
+            SELECT label, key,
+                   string_agg(DISTINCT original_text, '|' ORDER BY original_text)
+                       AS variants,
+                   COUNT(*) AS mention_count
+            FROM rows_ GROUP BY label, key
+        )
+        SELECT a.label, a.key, w.original_text AS name_ar,
+               w.confidence AS confidence, a.variants, a.mention_count
+        FROM aggs a
+        JOIN winners w ON a.label = w.label AND a.key = w.key AND w.rn = 1
+    """,
+    "model_ner": f"""
+        SELECT doc_id,
+               CAST(len(tokens) AS BIGINT) AS n_words,
+               CAST(len(list_filter(labels, l -> l LIKE 'B-%')) AS BIGINT)
+                   AS n_entities,
+               md5(array_to_string(labels, '|')) AS labels_fp,
+               CAST(COALESCE(list_sum(
+                   [CAST(floor(c * 1000000) AS BIGINT) FOR c IN confidences]
+               ), 0) AS BIGINT) AS conf_sum_x1e6
+        FROM read_parquet('{_MODEL_PREDS}')
     """,
     "label_distribution": f"""
         WITH lab AS (

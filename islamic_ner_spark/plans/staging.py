@@ -260,6 +260,110 @@ def ensure_media_stage(spark: SparkSession, sf_dir: str) -> None:
     _mark("media", sf_dir)
 
 
+STREAM_N_BATCHES = 3
+STREAM_N_BUCKETS = 8
+
+# model-NER path knobs (match the reference defaults,
+# scripts/build_graph.py:182-278); the staged input triples each doc's
+# text so most rows exceed one 120-word window and the chunk-boundary
+# logic actually executes.
+MODEL_WORD_WINDOW = 120
+MODEL_MAX_SEQ = 512
+
+
+def ensure_stream_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the STREAMED graph: the flagship transcripts split into
+    ``STREAM_N_BATCHES`` files -> ``start_graph_stream`` (bucketed
+    incremental MERGE, one file per micro-batch) ->
+    ``compact_graph_stream`` (cross-batch re-canonicalization) -> the
+    final node/edge tables staged as parquet.  The paired oracle replays
+    the one-shot BATCH merge SQL over the ``kg`` group's candidate rows,
+    so stream + compaction == batch is checked inside the driver's own
+    correctness gate (VERDICT r3 next #3), not just in pytest.
+
+    The split is arbitrary on purpose: the incremental merge rules are
+    associative/commutative (writer ordinals) and compaction joins the
+    accumulated vocabulary, so the result must be independent of how
+    rows land in micro-batches."""
+    if _is_current("stream", sf_dir):
+        return
+    _reset("stream")
+
+    import shutil as _shutil
+    import tempfile
+
+    from islamic_ner_spark.plans.pipeline import DEFAULT_GAZETTEER_DIR
+    from islamic_ner_spark.sources.gazetteer import Gazetteer
+    from islamic_ner_spark.sources.transcripts import transcripts_from_documents
+    from islamic_ner_spark.streaming.stream_pipeline import (
+        compact_graph_stream,
+        start_graph_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    transcripts = transcripts_from_documents(
+        spark, docs, turns_per_conv=FLAGSHIP_TURNS_PER_CONV
+    )
+    work = Path(tempfile.mkdtemp(prefix="stream_stage_"))
+    try:
+        for i in range(STREAM_N_BATCHES):
+            transcripts.where(
+                F.pmod(F.xxhash64("conv_id"), F.lit(STREAM_N_BATCHES)) == i
+            ).coalesce(1).write.parquet(str(work / "in" / f"part{i}"))
+        gazetteer_bc = spark.sparkContext.broadcast(
+            Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR)
+        )
+        graph_dir = str(work / "graph")
+        query = start_graph_stream(
+            spark, str(work / "in" / "*"), graph_dir, str(work / "ckpt"),
+            gazetteer_bc, available_now=True, max_files_per_trigger=1,
+            n_buckets=STREAM_N_BUCKETS,
+        )
+        query.awaitTermination(timeout=900)
+        compact_graph_stream(spark, graph_dir, gazetteer_bc)
+        _write(
+            spark.read.parquet(f"{graph_dir}/edges").drop("bucket"),
+            "stream", "edges",
+        )
+        _write(
+            spark.read.parquet(f"{graph_dir}/nodes").drop("bucket"),
+            "stream", "nodes",
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    _mark("stream", sf_dir)
+
+
+def ensure_model_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the model-NER path's predictions: one long turn per
+    document (text tripled so most rows exceed one ``MODEL_WORD_WINDOW``
+    chunk), labeled end-to-end by the chunked word-window /
+    first-subword / max-seq core through the deterministic numpy encoder
+    (operators/model_ner.py).  The oracle recomputes entity counts and
+    label fingerprints from the staged arrays — the prediction kernel
+    itself is deterministic and unit-tested against chunk boundaries."""
+    if _is_current("model", sf_dir):
+        return
+    _reset("model")
+
+    from islamic_ner_spark.operators.model_ner import model_ner_labels
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat_ws(" ", "text", "text", "text").alias("text"),
+    )
+    _write(
+        model_ner_labels(
+            transcripts, None, encoder="numpy",
+            word_window=MODEL_WORD_WINDOW, max_seq=MODEL_MAX_SEQ,
+        ),
+        "model", "predictions",
+    )
+    _mark("model", sf_dir)
+
+
 def ensure_ann_stage(spark: SparkSession, sf_dir: str) -> None:
     """Stage hyperplane-LSH signatures, sized per corpus:
 
