@@ -17,7 +17,11 @@ SPARK_GRAFT_CONVS_PER_DOC (default 6), SPARK_GRAFT_TURNS (default 4).
 Noise accounting (round-2 verdict: a 2.9x official-number swing turned
 out to be host interference and was only diagnosable by re-running):
 every timed phase also records the container cgroup CPU-seconds it
-burned and the host 1-min loadavg at its start.  Wall time that swings
+burned, the host 1-min loadavg at its start, and a ``foreign_jvm`` flag
+— a watcher thread polls /proc every 3 s for Spark processes not
+descended from this one (round 3 caught a co-tenant local[16] JVM
+burning the container's quota mid-leg; a phase it overlaps is not
+comparable and the flag says so without re-running).  Wall time that swings
 while cpu_s stays flat is external load, not a code regression — the
 evidence ships in the JSON so a reader never has to re-run to tell.
 Two reading caveats: load1 after the first phase includes the decaying
@@ -67,22 +71,59 @@ def _load1() -> float | None:
 
 
 class _PhaseClock:
-    """Times phases, pairing wall seconds with cgroup CPU-seconds and
-    the host load at phase start."""
+    """Times phases, pairing wall seconds with cgroup CPU-seconds, the
+    host load at phase start, and a foreign-Spark-JVM contamination flag
+    (round-3 verdict #7: a leg a co-tenant Spark job overlaps is
+    garbage, and the evidence must ship in the JSON)."""
 
     def __init__(self) -> None:
         self.timings: dict[str, float] = {}
         self.cpu_s: dict[str, float] = {}
         self.load1: dict[str, float] = {}
+        self.foreign_jvm: dict[str, bool] = {}
+
+    @staticmethod
+    def _watch_foreign(fn):
+        """Run ``fn`` while a daemon thread polls for foreign Spark
+        processes every 3 s (plus one check before and after — a
+        transient co-tenant JVM mid-phase must not escape the flag).
+        Returns True when any was observed."""
+        import threading
+
+        from islamic_ner_spark import hostguard
+
+        hit = threading.Event()
+        stop = threading.Event()
+
+        def poll() -> None:
+            while not stop.is_set() and not hit.is_set():
+                if hostguard.foreign_spark_processes():
+                    hit.set()
+                    return
+                stop.wait(3.0)
+
+        if hostguard.foreign_spark_processes():
+            hit.set()
+        watcher = threading.Thread(target=poll, daemon=True)
+        watcher.start()
+        try:
+            fn()
+        finally:
+            stop.set()
+            watcher.join(timeout=5.0)
+        if hostguard.foreign_spark_processes():
+            hit.set()
+        return hit.is_set()
 
     def run(self, name: str, fn) -> None:
         load = _load1()
         cpu_before = _container_cpu_ns()
         start = time.time()
-        fn()
+        foreign = self._watch_foreign(fn)
         wall = time.time() - start
         cpu_after = _container_cpu_ns()
         self.timings[name] = round(wall, 3)
+        self.foreign_jvm[name] = foreign
         if cpu_before is not None and cpu_after is not None:
             self.cpu_s[name] = round((cpu_after - cpu_before) / 1e9, 2)
         if load is not None:
@@ -90,12 +131,12 @@ class _PhaseClock:
 
     def run_best_of(self, name: str, fn, repeats: int) -> None:
         """Best wall time of ``repeats`` runs (keeps that run's cpu_s)."""
-        best: tuple[float, float | None, float | None] | None = None
+        best: tuple[float, float | None, float | None, bool] | None = None
         for _ in range(max(1, repeats)):
             load = _load1()
             cpu_before = _container_cpu_ns()
             start = time.time()
-            fn()
+            foreign = self._watch_foreign(fn)
             wall = time.time() - start
             cpu_after = _container_cpu_ns()
             cpu = (
@@ -104,12 +145,13 @@ class _PhaseClock:
                 else None
             )
             if best is None or wall < best[0]:
-                best = (wall, cpu, load)
+                best = (wall, cpu, load, foreign)
         self.timings[name] = round(best[0], 3)
         if best[1] is not None:
             self.cpu_s[name] = round(best[1], 2)
         if best[2] is not None:
             self.load1[name] = best[2]
+        self.foreign_jvm[name] = best[3]
 
 
 def main() -> None:
@@ -224,6 +266,7 @@ def main() -> None:
                 "queries": clock.timings,
                 "cpu_s": clock.cpu_s,
                 "load1": clock.load1,
+                "foreign_jvm": clock.foreign_jvm,
                 "best_of_sql": best_of,
                 "sf": sf_dir,
                 "cpus": cpus,
