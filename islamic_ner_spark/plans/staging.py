@@ -319,7 +319,12 @@ def ensure_stream_stage(spark: SparkSession, sf_dir: str) -> None:
             gazetteer_bc, available_now=True, max_files_per_trigger=1,
             n_buckets=STREAM_N_BUCKETS,
         )
-        query.awaitTermination(timeout=900)
+        if not query.awaitTermination(timeout=900):
+            query.stop()
+            raise TimeoutError(
+                "stream staging did not drain in 900s — compacting a "
+                "half-built graph would stage wrong rows"
+            )
         compact_graph_stream(spark, graph_dir, gazetteer_bc)
         _write(
             spark.read.parquet(f"{graph_dir}/edges").drop("bucket"),

@@ -57,7 +57,20 @@ def main() -> None:
             cwd=REPO, check=True,
         )
 
+    def drain_spark(max_wait_s: float = 60.0) -> None:
+        """Wait for the PREVIOUS leg's JVM / pyspark daemons to fully
+        exit — once their python parent dies they reparent to init and
+        would read as 'foreign' to the next leg's monitor (observed:
+        a trailing leg flagged contaminated by its predecessor's
+        orphans)."""
+        started = time.time()
+        while time.time() - started < max_wait_s:
+            if not hostguard.spark_processes():
+                return
+            time.sleep(2)
+
     def leg(repo_dir: Path, commit: str) -> dict:
+        drain_spark()
         wait_for_admission(quiet_load)
         load_start = hostguard.load1()
         # run_bench resolves bench.py relative to scaling_run's REPO; for
@@ -104,9 +117,24 @@ def main() -> None:
             "triples": run["triples"],
             "load1_start": load_start,
             "contaminated": bool(run.get("contaminated")),
+            "foreign_jvm_cmds": run.get("foreign_jvm_cmds"),
         }
 
+    # accumulate across invocations: same (commits, workload, cpus) =>
+    # earlier legs stay in the artifact, like the scaling pair history
+    evidence_path = REPO / "AB_EVIDENCE.json"
     legs = []
+    interpretation = None
+    if evidence_path.exists():
+        previous = json.loads(evidence_path.read_text())
+        if (
+            previous.get("commit_a") == commit_a_hash
+            and previous.get("commit_b") == commit_b_hash
+            and previous.get("cpus") == cpus
+            and previous.get("workload", {}).get("convs_per_doc") == convs_per_doc
+        ):
+            legs = list(previous.get("legs", []))
+            interpretation = previous.get("interpretation")
     for i in range(rounds):
         for repo_dir, commit in ((worktree, commit_a_hash), (REPO, commit_b_hash)):
             result = leg(repo_dir, commit)
@@ -134,6 +162,8 @@ def main() -> None:
         "legs": legs,
         "best": {"a": best(commit_a_hash), "b": best(commit_b_hash)},
     }
+    if interpretation:
+        evidence["interpretation"] = interpretation
     (REPO / "AB_EVIDENCE.json").write_text(json.dumps(evidence, indent=2))
     print(f"wrote {REPO / 'AB_EVIDENCE.json'}")
 

@@ -321,7 +321,12 @@ history, round 2).
         "processes in the container (and a host-load floor, which IS "
         "visible via /proc/loadavg here), a monitor polls every 5 s "
         "during the leg, and a leg any co-tenant JVM overlaps is "
-        "retried (kept only flagged when retries exhaust)."
+        "retried (kept only flagged when retries exhaust).  Root cause "
+        "of the round-3 red number: a leftover benchmark retry loop "
+        "from the previous session was still running its own local[16] "
+        "JVM inside this container, contaminating every window; with it "
+        "found and killed (and the guard preventing a recurrence), the "
+        "first guarded pair cleared the gate."
         if headline_guarded
         else "**Guard caveat**: no guarded-clean pair exists yet in the "
         "accumulated history — the reported pair predates the "

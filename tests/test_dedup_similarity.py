@@ -378,3 +378,23 @@ def test_kmeans_refinement_has_no_corpus_shuffle(embeddings) -> None:
     plan = sums._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_cap_buckets_auto_cache_registry_bounded(spark) -> None:
+    """Callers that pass no tracking list still get the input cached
+    (one kernel run feeds the cap window, the overflow report, and the
+    downstream join), but the module-level registry stays bounded —
+    older entries are explicitly unpersisted as new ones arrive
+    (ADVICE r3: the untracked path used to recompute the kernel up to
+    3x; the registry must not leak either)."""
+    from islamic_ner_spark.operators import capping
+
+    dfs = []
+    for i in range(capping._AUTO_CACHE_LIMIT + 2):
+        df = spark.createDataFrame([(i, "b")], "k long, band string")
+        capped = capping.cap_buckets(df, ["band"], 10, f"test-{i}")
+        capped.collect()
+        dfs.append(df)
+    assert len(capping._auto_cached) == capping._AUTO_CACHE_LIMIT
+    # evicted entries are no longer cached; recent ones are
+    assert all(df.storageLevel.useMemory for df in capping._auto_cached)
