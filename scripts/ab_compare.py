@@ -85,6 +85,8 @@ def main() -> None:
         if repo_dir == REPO:
             run = run_bench(cpus, convs_per_doc, turns, sf_dir)
         else:
+            from bench import _container_cpu_ns as _cpu_ns
+
             env = dict(os.environ)
             env.update(env_extra)
             cmd = [sys.executable, str(repo_dir / "bench.py")]
@@ -92,6 +94,7 @@ def main() -> None:
                 cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
             started = time.time()
             episodes = 0
+            cpu_before = _cpu_ns()
             proc = subprocess.Popen(
                 cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True, cwd=str(repo_dir),
@@ -104,9 +107,12 @@ def main() -> None:
                     episodes += 1
                 time.sleep(5)
             out = proc.communicate()[0]
+            cpu_after = _cpu_ns()
             run = json.loads(
                 [l for l in out.strip().splitlines() if l.startswith("{")][-1]
             )
+            if cpu_before is not None and cpu_after is not None:
+                run["cpu_total_s"] = round((cpu_after - cpu_before) / 1e9, 1)
             run["contaminated"] = episodes > 0
         return {
             "commit": commit,
