@@ -563,6 +563,49 @@ def q_kg_stream_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch STATEFUL streaming dedup (applyInPandasWithState,
+    one boolean of state per content hash) over an id-range-ordered
+    micro-batch split of the documents table; with batches in ascending
+    id order the stateful winner per hash is the global min doc_id, so
+    the oracle replays the whole stream as GROUP BY md5(text) +
+    MIN(doc_id) over the source table."""
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_stream_dedup_stage(spark, sf_dir)
+    return spark.read.parquet(staging.stage_path("sdedup", "survivors")).select(
+        "content_hash", "doc_id"
+    )
+
+
+def q_stream_windowed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling-window mention counts from the
+    STREAM (append mode: each closed window emitted exactly once),
+    compared against epoch-arithmetic windowing over the staged batch
+    mention events.  Both sides apply the same explicit watermark
+    cutoff (window_end <= max(ts) - delay) so the comparison is exact."""
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_stream_window_stage(spark, sf_dir)
+    out = spark.read.parquet(staging.stage_path("swin", "windowed"))
+    events = spark.read.parquet(staging.stage_path("swin", "mention_events"))
+    cutoff = events.agg(
+        (F.max(F.col("ts").cast("long")) - staging.STREAM_WATERMARK_SECONDS)
+        .alias("wm")
+    )
+    return (
+        out.select(
+            F.col("window_start").cast("long").alias("window_start_epoch"),
+            F.col("window_end").cast("long").alias("window_end_epoch"),
+            "entity_type",
+            "n_mentions",
+        )
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("window_end_epoch") <= F.col("wm"))
+        .drop("wm")
+    )
+
+
 def q_model_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-path NER over long documents (M12 executable in-sandbox):
     per-document word count, predicted-entity count, label-sequence
@@ -637,6 +680,8 @@ QUERIES = {
     # against the BATCH merge SQL over the kg-staged rows)
     "kg_stream_edges": q_kg_stream_edges,
     "kg_stream_nodes": q_kg_stream_nodes,
+    "stream_dedup": q_stream_dedup,
+    "stream_windowed_mentions": q_stream_windowed_mentions,
     # model-NER path (deterministic numpy encoder, chunked core)
     "model_ner": q_model_ner,
 }
@@ -804,6 +849,7 @@ _IVF_PROBES = _staging.stage_glob("ann", "ivf_probes")
 _MEDIA_RAW = _staging.stage_glob("media", "media_raw")
 _MEDIA_DECODED = _staging.stage_glob("media", "media_decoded")
 _MODEL_PREDS = _staging.stage_glob("model", "predictions")
+_SWIN_EVENTS = _staging.stage_glob("swin", "mention_events")
 
 
 def _components_ctes(pairs_cte: str) -> str:
@@ -1237,6 +1283,37 @@ ORACLE_SQL.update({
                w.confidence AS confidence, a.variants, a.mention_count
         FROM aggs a
         JOIN winners w ON a.label = w.label AND a.key = w.key AND w.rn = 1
+    """,
+    # the stateful dedup stream vs a batch GROUP BY over the SOURCE
+    # table (not staged stream output): ascending id-range batch order
+    # makes the cross-batch stateful winner the global min id
+    "stream_dedup": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "stream_windowed_mentions": f"""
+        WITH ev AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, entity_type
+            FROM read_parquet('{_SWIN_EVENTS}')
+        ),
+        cutoff AS (
+            SELECT MAX(e) - {_staging.STREAM_WATERMARK_SECONDS} AS wm FROM ev
+        ),
+        win AS (
+            SELECT (e // {_staging.STREAM_WINDOW_SECONDS})
+                       * {_staging.STREAM_WINDOW_SECONDS} AS ws,
+                   entity_type,
+                   COUNT(*) AS n_mentions
+            FROM ev GROUP BY 1, 2
+        )
+        SELECT CAST(ws AS BIGINT) AS window_start_epoch,
+               CAST(ws + {_staging.STREAM_WINDOW_SECONDS} AS BIGINT)
+                   AS window_end_epoch,
+               entity_type, n_mentions
+        FROM win, cutoff
+        WHERE ws + {_staging.STREAM_WINDOW_SECONDS} <= wm
     """,
     "model_ner": f"""
         SELECT doc_id,

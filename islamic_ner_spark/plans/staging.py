@@ -339,6 +339,142 @@ def ensure_stream_stage(spark: SparkSession, sf_dir: str) -> None:
     _mark("stream", sf_dir)
 
 
+def ensure_stream_dedup_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the STATEFUL streaming dedup's survivors: the documents
+    table split into three ascending-``doc_id`` ranges written with
+    strictly increasing mtimes (file-source batch order), drained
+    through ``stream_exact_dedup`` (``applyInPandasWithState``, one
+    boolean of state per content hash).  Because batches arrive in
+    ascending id-range order, the first batch containing a hash holds
+    its global minimum id — so the cross-batch stateful winner equals a
+    plain ``GROUP BY md5(text)`` + ``MIN(doc_id)`` over the source
+    table, which is exactly what the DuckDB oracle replays."""
+    if _is_current("sdedup", sf_dir):
+        return
+    _reset("sdedup")
+
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from islamic_ner_spark.streaming.stream_pipeline import start_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        docs.where(F.col("doc_id") <= b1),
+        docs.where((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+        docs.where(F.col("doc_id") > b2),
+    ]
+    work = Path(tempfile.mkdtemp(prefix="sdedup_stage_"))
+    try:
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.parquet(str(work / "in" / f"p{i}"))
+            _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+        query = start_dedup_stream(
+            spark, str(work / "in" / "*"), "doc_id long, text string",
+            str(work / "out"), str(work / "ckpt"),
+            available_now=True, max_files_per_trigger=1,
+        )
+        if not query.awaitTermination(timeout=600):
+            query.stop()
+            raise TimeoutError("dedup stream staging did not drain in 600s")
+        _write(spark.read.parquet(str(work / "out")), "sdedup", "survivors")
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    _mark("sdedup", sf_dir)
+
+
+STREAM_WINDOW_SECONDS = 600
+STREAM_WATERMARK_SECONDS = 60
+
+
+def ensure_stream_window_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the watermarked windowed-aggregation path:
+
+    * ``mention_events`` — (ts, entity_type) batch-kernel mention rows
+      over the flagship transcripts (the shared input both engines
+      aggregate);
+    * ``windowed`` — the STREAMED tumbling-window counts: transcripts
+      split into event-time-ordered micro-batches (in-order feeding, so
+      the advancing watermark drops nothing), drained through
+      ``start_windowed_mention_stream`` and restarted once with no new
+      data to flush every window the final watermark closed.
+
+    The oracle replays epoch-arithmetic windowing + the same explicit
+    watermark cutoff over ``mention_events``; both sides apply
+    ``window_end <= max(ts) - watermark`` so the comparison is exact
+    regardless of Spark's internal boundary rule."""
+    if _is_current("swin", sf_dir):
+        return
+    _reset("swin")
+
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from islamic_ner_spark.operators.ner import annotate_transcripts
+    from islamic_ner_spark.plans.pipeline import DEFAULT_GAZETTEER_DIR
+    from islamic_ner_spark.sources.gazetteer import Gazetteer
+    from islamic_ner_spark.sources.transcripts import transcripts_from_documents
+    from islamic_ner_spark.streaming.stream_pipeline import (
+        start_windowed_mention_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    transcripts = transcripts_from_documents(
+        spark, docs, turns_per_conv=FLAGSHIP_TURNS_PER_CONV
+    ).persist()
+    gazetteer_bc = spark.sparkContext.broadcast(
+        Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR)
+    )
+    annotated = annotate_transcripts(transcripts, gazetteer_bc)
+    _write(
+        annotated.select("ts", F.explode("mentions").alias("m")).select(
+            "ts", F.col("m.entity_type").alias("entity_type")
+        ),
+        "swin", "mention_events",
+    )
+
+    bounds = sorted(r["ts"] for r in transcripts.select("ts").distinct().collect())
+    cuts = [
+        bounds[len(bounds) // 4],
+        bounds[len(bounds) // 2],
+        bounds[3 * len(bounds) // 4],
+    ]
+    parts = [
+        transcripts.where(F.col("ts") <= cuts[0]),
+        transcripts.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        transcripts.where((F.col("ts") > cuts[1]) & (F.col("ts") <= cuts[2])),
+        transcripts.where(F.col("ts") > cuts[2]),
+    ]
+    work = Path(tempfile.mkdtemp(prefix="swin_stage_"))
+    try:
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.parquet(str(work / "in" / f"p{i}"))
+            _time.sleep(1.1)  # distinct mtimes => event-time batch order
+        kwargs = dict(
+            available_now=True, max_files_per_trigger=1,
+            window_duration=f"{STREAM_WINDOW_SECONDS} seconds",
+            watermark_delay=f"{STREAM_WATERMARK_SECONDS} seconds",
+        )
+        for _restart in range(2):  # second run flushes final-watermark windows
+            query = start_windowed_mention_stream(
+                spark, str(work / "in" / "*"), str(work / "out"),
+                str(work / "ckpt"), gazetteer_bc, **kwargs,
+            )
+            if not query.awaitTermination(timeout=600):
+                query.stop()
+                raise TimeoutError("windowed stream staging did not drain in 600s")
+        _write(spark.read.parquet(str(work / "out")), "swin", "windowed")
+    finally:
+        transcripts.unpersist()
+        _shutil.rmtree(work, ignore_errors=True)
+    _mark("swin", sf_dir)
+
+
 def ensure_model_stage(spark: SparkSession, sf_dir: str) -> None:
     """Stage the model-NER path's predictions: one long turn per
     document (text tripled so most rows exceed one ``MODEL_WORD_WINDOW``
