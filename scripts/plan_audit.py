@@ -1,0 +1,153 @@
+"""Executable physical-plan audit — the claims in BENCH.md/COVERAGE.md
+("filters reach the scan", "dimensions broadcast", "the edge MERGE never
+exchanges", "aggregations combine map-side") as assertions over the
+ACTUAL plans Catalyst produces, not prose.
+
+Prints one verdict line per invariant and exits non-zero when any is
+violated, so a plan regression (a lost pushdown, a broadcast that became
+a sort-merge join, a shuffle sneaking into the turn-local edge path)
+fails loudly instead of surfacing as a mystery slowdown at scale.
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+FAILURES: list[str] = []
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def check(name: str, condition: bool, detail: str) -> None:
+    status = "OK  " if condition else "FAIL"
+    print(f"[{status}] {name}: {detail}")
+    if not condition:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from islamic_ner_spark.plans import driver_queries as dq
+    from islamic_ner_spark.session import build_session
+
+    spark = build_session("plan_audit", master="local[8]", shuffle_partitions=8)
+
+    # -- relational headliners -------------------------------------------
+    plan = plan_of(dq.QUERIES["lineitem_pricing_summary"](spark, sf_dir))
+    check(
+        "lineitem: filter pushed to scan",
+        "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan,
+        "l_shipdate predicate appears in the parquet scan's PushedFilters",
+    )
+    check(
+        "lineitem: column pruning",
+        "l_comment" not in plan and "ReadSchema" in plan,
+        "scan reads only the 6 referenced columns (no l_comment)",
+    )
+    check(
+        "lineitem: map-side partial aggregation",
+        plan.count("HashAggregate") >= 2,
+        "partial + final HashAggregate (combine before the exchange)",
+    )
+
+    plan = plan_of(dq.QUERIES["orders_per_nation"](spark, sf_dir))
+    check(
+        "orders_per_nation: dimensions broadcast",
+        plan.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in plan,
+        "customer and nation join as broadcast hash joins, no sort-merge",
+    )
+
+    plan = plan_of(dq.QUERIES["token_stats"](spark, sf_dir))
+    check(
+        "token_stats: column pruning",
+        "ReadSchema: struct<doc_id:bigint,text:string>" in plan,
+        "scan schema is exactly (doc_id, text)",
+    )
+
+    plan = plan_of(dq.QUERIES["events_sessionize"](spark, sf_dir))
+    check(
+        "events_sessionize: one partitioning reused",
+        plan.count("Exchange hashpartitioning") == 1,
+        "window + running-sum + groupBy all reuse the user_id exchange",
+    )
+
+    plan = plan_of(dq.QUERIES["dedup_exact"](spark, sf_dir))
+    check(
+        "dedup_exact: map-side partial aggregation",
+        plan.count("HashAggregate") >= 2,
+        "hash-groupBy combines per-partition before the exchange",
+    )
+
+    # -- flagship KG build: the turn-local edge path must not shuffle ----
+    from islamic_ner_spark.plans.pipeline import build_graph
+    from islamic_ner_spark.sources.transcripts import synthetic_transcripts
+
+    transcripts = synthetic_transcripts(spark, 50, turns_per_conv=3)
+    result = build_graph(spark, transcripts)
+    plan = plan_of(result.edges)
+    check(
+        "kg edges: zero-shuffle turn-local MERGE",
+        "Exchange hashpartitioning" not in plan,
+        "no hash-partition exchange anywhere in the edge dataflow "
+        "(broadcast exchanges for the resolution dimension are fine)",
+    )
+    check(
+        "kg edges: resolution joins broadcast",
+        "SortMergeJoin" not in plan,
+        "no sort-merge join in the edge dataflow",
+    )
+    result.unpersist()
+
+    # -- ANN: candidate joins keep the small side broadcast --------------
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_ann_stage(spark, sf_dir)
+    plan = plan_of(dq.QUERIES["ivf_topk"](spark, sf_dir))
+    check(
+        "ivf_topk: probe side broadcast",
+        "BroadcastHashJoin" in plan,
+        "the nprobe-cell probe table broadcasts against cell assignments",
+    )
+
+    # -- IVF trainer: refinement aggregates partials, never the corpus ---
+    from pyspark.sql import functions as F
+
+    from islamic_ner_spark.operators.similarity import (
+        cell_partial_sums,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = kmeans_centroids(emb, n_cells=8, n_iters=0)
+    partials = cell_partial_sums(emb, centroids)
+    sums = (
+        partials.select("cell", "n", F.posexplode("sum_vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"), F.sum("n").alias("n"))
+    )
+    plan = plan_of(sums)
+    check(
+        "ivf trainer: no corpus join/shuffle in Lloyd refinement",
+        "Join" not in plan and plan.count("Exchange") <= 1,
+        "refinement aggregates <= tasks x n_cells partial rows only",
+    )
+
+    print()
+    if FAILURES:
+        print(f"PLAN AUDIT FAILED: {FAILURES}")
+        return 1
+    print("plan audit passed: every claimed plan property holds")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

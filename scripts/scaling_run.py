@@ -425,6 +425,12 @@ threaded, model-bound (BASELINE.md). This engine's model-free path on one
 {results[n_large]['triples_per_sec']:,} triples/s — roughly
 {int(results[n_large]['turns_per_sec'] / 1.55):,}x the reference document rate.
 
+Every plan property claimed above is an executable assertion:
+`python scripts/plan_audit.py` checks pushed filters, column pruning,
+broadcast joins, partial aggregation, the zero-shuffle edge path, and
+the shuffle-free IVF refinement against the actual Catalyst plans and
+exits non-zero on any regression.
+
 Regenerate: `python scripts/scaling_run.py` (writes this file).
 Per-round driver numbers: BENCH_r{{N}}.json (bench.py at sf0.1 defaults).
 """
