@@ -295,6 +295,11 @@ def _compact_graph_locked(spark, graph_path, gazetteer_bc, n_buckets) -> dict:
         SINK.recover_replace(graph_path / name)
         SINK.recover(graph_path / name)
 
+    # a maintenance cron can fire before the stream commits its first
+    # batch — an initialized-but-empty graph dir is a no-op, not a crash
+    if not (graph_path / "nodes").exists() or not (graph_path / "edges").exists():
+        return {"remapped_keys": 0, "nodes": 0, "edges": 0, "skipped": "empty graph"}
+
     batch_id = graph_batch_watermark(graph_path)
 
     nodes = spark.read.parquet(str(graph_path / "nodes")).drop("bucket")
@@ -514,6 +519,12 @@ def rebucket_graph(spark: SparkSession, graph_dir: str, new_n_buckets: int) -> d
         for name in ("nodes", "edges"):
             SINK.recover_replace(graph_path / name)
             SINK.recover(graph_path / name)
+        if not (graph_path / "nodes").exists() or not (graph_path / "edges").exists():
+            # no batches committed yet: only the pinned modulus changes
+            meta["n_buckets"] = new_n_buckets
+            meta_file.write_text(json.dumps(meta))
+            return {"n_buckets": new_n_buckets, "nodes": 0, "edges": 0,
+                    "skipped": "empty graph"}
         batch_id = graph_batch_watermark(graph_path)
         intent.write_text(json.dumps({"new_n_buckets": new_n_buckets}))
 

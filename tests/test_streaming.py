@@ -668,3 +668,33 @@ def test_rebucket_graph(spark, tmp_path) -> None:
         batch.edges.columns
     )
     assert rows(got_after) == rows(batch.edges)
+
+
+def test_maintenance_on_empty_graph_is_noop(spark, tmp_path) -> None:
+    """A maintenance cron can fire before the stream commits its first
+    batch: compaction and rebucketing on an initialized-but-empty graph
+    dir must no-op (rebucket still updates the pinned modulus), not
+    crash on a missing table read."""
+    import json as json_mod
+
+    from islamic_ner_spark.streaming.stream_pipeline import (
+        GRAPH_SCHEMA_VERSION,
+        compact_graph_stream,
+        rebucket_graph,
+    )
+
+    graph = tmp_path / "graph"
+    graph.mkdir()
+    (graph / "_graph_meta.json").write_text(
+        json_mod.dumps({"n_buckets": 4, "schema_version": GRAPH_SCHEMA_VERSION})
+    )
+    gazetteer_bc = spark.sparkContext.broadcast(Gazetteer.from_dir(DEFAULT_GAZETTEER_DIR))
+    stats = compact_graph_stream(spark, str(graph), gazetteer_bc)
+    assert stats.get("skipped") == "empty graph"
+    stats = rebucket_graph(spark, str(graph), 16)
+    assert stats.get("skipped") == "empty graph"
+    assert json_mod.loads(
+        (graph / "_graph_meta.json").read_text()
+    )["n_buckets"] == 16
+    assert not (graph / "_rebucket_intent.json").exists()
+    assert not (graph / "_compact.lock").exists()
