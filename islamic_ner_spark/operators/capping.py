@@ -59,7 +59,11 @@ def cap_buckets(
     else:
         _auto_cached.append(banded)
         while len(_auto_cached) > _AUTO_CACHE_LIMIT:
-            _auto_cached.pop(0).unpersist()
+            evicted = _auto_cached.pop(0)
+            try:
+                evicted.unpersist()
+            except Exception:  # entry may belong to a stopped SparkContext
+                pass
 
     bucket_w = Window.partitionBy(*key_cols)
     capped = banded.withColumn(

@@ -325,11 +325,20 @@ def aggregate_edges(rows: DataFrame) -> DataFrame:
 
 EDGE_KEY = ["pred", "src_label", "src_key", "tgt_label", "tgt_key", "source_hadith"]
 
-_EDGES_OUT_SCHEMA = (
+# persistent-table DDL shapes (v2, writer-ordinal columns) — shared by
+# the streaming maintenance jobs so a one-table-missing graph dir can be
+# processed against an empty side of the right schema
+EDGES_TABLE_SCHEMA = (
     "pred string, src_label string, src_key string, tgt_label string, "
     "tgt_key string, source_hadith string, confidence double, "
     "evidence string, merge_count long, first_emit long"
 )
+NODES_TABLE_SCHEMA = (
+    "label string, key string, name_ar string, confidence double, "
+    "variants array<string>, mention_count long, best_conv string, "
+    "best_turn int, best_emit long, book_ref string, chapter string"
+)
+_EDGES_OUT_SCHEMA = EDGES_TABLE_SCHEMA
 
 
 def edge_candidate_rows(resolved_triples: DataFrame) -> DataFrame:

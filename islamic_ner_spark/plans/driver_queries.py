@@ -879,6 +879,32 @@ _EDGE_MERGE_SQL = f"""
         GROUP BY pred, src_label, src_key, tgt_label, tgt_key, source_hadith
 """
 
+# shared by kg_nodes AND kg_stream_nodes — the streamed+compacted node
+# table must equal the one-shot batch merge, so both oracles are the
+# same SQL BY CONSTRUCTION (one constant, not two copies that can drift)
+_NODE_MERGE_SQL = f"""
+        WITH rows_ AS (SELECT * FROM read_parquet('{_NODE_ROWS}')),
+        winners AS (
+            SELECT label, key, original_text, confidence,
+                   row_number() OVER (
+                       PARTITION BY label, key
+                       ORDER BY conv_id DESC, turn_idx DESC, emit_idx DESC
+                   ) AS rn
+            FROM rows_
+        ),
+        aggs AS (
+            SELECT label, key,
+                   string_agg(DISTINCT original_text, '|' ORDER BY original_text)
+                       AS variants,
+                   COUNT(*) AS mention_count
+            FROM rows_ GROUP BY label, key
+        )
+        SELECT a.label, a.key, w.original_text AS name_ar,
+               w.confidence AS confidence, a.variants, a.mention_count
+        FROM aggs a
+        JOIN winners w ON a.label = w.label AND a.key = w.key AND w.rn = 1
+"""
+
 # unsigned view of the signed-stored 64-bit simhash for band arithmetic
 _U64 = "(CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0 THEN 18446744073709551616 ELSE 0 END)"
 
@@ -921,28 +947,7 @@ ORACLE_SQL.update({
         WHERE pred = 'NARRATED_FROM'
           AND src_label = 'Scholar' AND tgt_label = 'Scholar'
     """,
-    "kg_nodes": f"""
-        WITH rows_ AS (SELECT * FROM read_parquet('{_NODE_ROWS}')),
-        winners AS (
-            SELECT label, key, original_text, confidence,
-                   row_number() OVER (
-                       PARTITION BY label, key
-                       ORDER BY conv_id DESC, turn_idx DESC, emit_idx DESC
-                   ) AS rn
-            FROM rows_
-        ),
-        aggs AS (
-            SELECT label, key,
-                   string_agg(DISTINCT original_text, '|' ORDER BY original_text)
-                       AS variants,
-                   COUNT(*) AS mention_count
-            FROM rows_ GROUP BY label, key
-        )
-        SELECT a.label, a.key, w.original_text AS name_ar,
-               w.confidence AS confidence, a.variants, a.mention_count
-        FROM aggs a
-        JOIN winners w ON a.label = w.label AND a.key = w.key AND w.rn = 1
-    """,
+    "kg_nodes": _NODE_MERGE_SQL,
     "kg_resolution": f"""
         WITH RECURSIVE
         {_components_ctes(
@@ -1262,28 +1267,7 @@ ORACLE_SQL.update({
     # point is that the incrementally-built-then-compacted tables must
     # equal the one-shot batch aggregation row for row.
     "kg_stream_edges": _EDGE_MERGE_SQL,
-    "kg_stream_nodes": f"""
-        WITH rows_ AS (SELECT * FROM read_parquet('{_NODE_ROWS}')),
-        winners AS (
-            SELECT label, key, original_text, confidence,
-                   row_number() OVER (
-                       PARTITION BY label, key
-                       ORDER BY conv_id DESC, turn_idx DESC, emit_idx DESC
-                   ) AS rn
-            FROM rows_
-        ),
-        aggs AS (
-            SELECT label, key,
-                   string_agg(DISTINCT original_text, '|' ORDER BY original_text)
-                       AS variants,
-                   COUNT(*) AS mention_count
-            FROM rows_ GROUP BY label, key
-        )
-        SELECT a.label, a.key, w.original_text AS name_ar,
-               w.confidence AS confidence, a.variants, a.mention_count
-        FROM aggs a
-        JOIN winners w ON a.label = w.label AND a.key = w.key AND w.rn = 1
-    """,
+    "kg_stream_nodes": _NODE_MERGE_SQL,
     # the stateful dedup stream vs a batch GROUP BY over the SOURCE
     # table (not staged stream output): ascending id-range batch order
     # makes the cross-batch stateful winner the global min id

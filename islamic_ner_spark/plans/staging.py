@@ -303,7 +303,7 @@ def ensure_stream_stage(spark: SparkSession, sf_dir: str) -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     transcripts = transcripts_from_documents(
         spark, docs, turns_per_conv=FLAGSHIP_TURNS_PER_CONV
-    )
+    ).persist()  # three filtered writes below reuse one generator pass
     work = Path(tempfile.mkdtemp(prefix="stream_stage_"))
     try:
         for i in range(STREAM_N_BATCHES):
@@ -335,6 +335,7 @@ def ensure_stream_stage(spark: SparkSession, sf_dir: str) -> None:
             "stream", "nodes",
         )
     finally:
+        transcripts.unpersist()
         _shutil.rmtree(work, ignore_errors=True)
     _mark("stream", sf_dir)
 

@@ -47,8 +47,10 @@ def _lock_holder_alive(lock: Path) -> bool:
         return False
     try:
         os.kill(pid, 0)
-    except (ProcessLookupError, PermissionError):
+    except ProcessLookupError:
         return False
+    except PermissionError:
+        return True  # EPERM: the process EXISTS, just not signalable by us
     return True
 
 
@@ -290,24 +292,29 @@ class ParquetTableSink:
         granularity via the ``_batch.json`` watermark inside each
         bucket's staged content (crash anywhere leaves every bucket
         fully old or fully new+marked)."""
+        table_dir = Path(table_dir)
+        # HOLD the graph maintenance lock for the whole merge (not a
+        # check-then-act peek): a compaction/rebucket acquiring the lock
+        # mid-merge would wholesale-swap the tables and silently discard
+        # this batch's rows after the streaming checkpoint commits.
+        # Holding it makes the exclusion symmetric — maintenance refuses
+        # while a merge is in flight, merges refuse (here, via the
+        # acquire failure) while maintenance runs.  A dead holder's lock
+        # is stolen by acquire; recover_replace below resolves whatever
+        # state a crashed maintenance job left.
+        acquire_compaction_lock(table_dir.parent)
+        try:
+            self._merge_buckets_locked(
+                spark, table_dir, new_df, bucket_col, merge_fn, batch_id
+            )
+        finally:
+            release_compaction_lock(table_dir.parent)
+
+    def _merge_buckets_locked(
+        self, spark, table_dir, new_df, bucket_col, merge_fn, batch_id: int
+    ) -> None:
         import shutil
 
-        table_dir = Path(table_dir)
-        # refuse while a LIVE compaction/rebucket holds the graph lock:
-        # its wholesale table swap would silently discard this merge.
-        # (A dead holder's lock is ignored — recover_replace below
-        # resolves whatever state the crash left.)
-        lock = compaction_lock_path(table_dir.parent)
-        if lock.exists() and _lock_holder_alive(lock):
-            raise RuntimeError(
-                f"graph maintenance (compaction/rebucket) is running on "
-                f"{table_dir.parent} — a merge now would be lost in its "
-                "table swap; retry after it finishes"
-            )
-        # an interrupted compaction (replace_table) must be resolved
-        # BEFORE bucket-level recovery reads the table — a half-swapped
-        # replace leaves table_dir missing/stale, and merging a
-        # micro-batch into that state would orphan the accumulated graph
         self.recover_replace(table_dir)
         self.recover(table_dir)
         new_df = new_df.withColumn("bucket", bucket_col).persist()

@@ -224,7 +224,11 @@ def graph_batch_watermark(graph_path) -> int:
             f"stream to finish replaying batch {ahead} before compacting "
             "or rebucketing"
         )
-    return max(marker_id, 0)
+    # marker_id may be -1 (no batch committed yet, e.g. a hand-built
+    # graph dir): stamping -1 onto rewritten buckets is equivalent to
+    # stamping nothing — a future batch 0 still merges (wm -1 < 0) and
+    # the partial-absorption check stays consistent (ahead == marker)
+    return marker_id
 
 
 def compact_graph_stream(spark: SparkSession, graph_dir: str, gazetteer_bc: Broadcast) -> dict:
@@ -291,19 +295,38 @@ def _compact_graph_locked(spark, graph_path, gazetteer_bc, n_buckets) -> dict:
     from islamic_ner_spark.operators.linking import _canonicalize_new
     from islamic_ner_spark.sources.tables import SINK
 
+    from islamic_ner_spark.operators.graph import (
+        EDGES_TABLE_SCHEMA,
+        NODES_TABLE_SCHEMA,
+    )
+
     for name in ("nodes", "edges"):
         SINK.recover_replace(graph_path / name)
         SINK.recover(graph_path / name)
 
     # a maintenance cron can fire before the stream commits its first
-    # batch — an initialized-but-empty graph dir is a no-op, not a crash
-    if not (graph_path / "nodes").exists() or not (graph_path / "edges").exists():
+    # batch — an initialized-but-empty graph dir is a no-op, not a
+    # crash.  A graph with only ONE table present (e.g. batches that
+    # emitted node candidates but no relation edges yet) still
+    # compacts: the missing side is an empty frame of the right schema,
+    # and only present tables are rewritten.
+    has_nodes = (graph_path / "nodes").exists()
+    has_edges = (graph_path / "edges").exists()
+    if not has_nodes and not has_edges:
         return {"remapped_keys": 0, "nodes": 0, "edges": 0, "skipped": "empty graph"}
 
     batch_id = graph_batch_watermark(graph_path)
 
-    nodes = spark.read.parquet(str(graph_path / "nodes")).drop("bucket")
-    edges = spark.read.parquet(str(graph_path / "edges")).drop("bucket")
+    nodes = (
+        spark.read.parquet(str(graph_path / "nodes")).drop("bucket")
+        if has_nodes
+        else spark.createDataFrame([], NODES_TABLE_SCHEMA)
+    )
+    edges = (
+        spark.read.parquet(str(graph_path / "edges")).drop("bucket")
+        if has_edges
+        else spark.createDataFrame([], EDGES_TABLE_SCHEMA)
+    )
 
     # gazetteer canonical dimension: every exact/fuzzy-resolved key
     type_for_label = {
@@ -439,13 +462,17 @@ def _compact_graph_locked(spark, graph_path, gazetteer_bc, n_buckets) -> dict:
 
     edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(n_buckets)).cast("int")
     node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(n_buckets)).cast("int")
-    SINK.replace_table(spark, graph_path / "edges", compact_edges, edge_bucket, batch_id)
-    SINK.replace_table(spark, graph_path / "nodes", compact_nodes, node_bucket, batch_id)
+    # only rewrite sides that exist: replacing a missing table with an
+    # empty frame would leave a file-less parquet dir later reads choke on
+    if has_edges:
+        SINK.replace_table(spark, graph_path / "edges", compact_edges, edge_bucket, batch_id)
+    if has_nodes:
+        SINK.replace_table(spark, graph_path / "nodes", compact_nodes, node_bucket, batch_id)
 
     stats = {
         "remapped_keys": int(n_remapped),
-        "nodes": spark.read.parquet(str(graph_path / "nodes")).count(),
-        "edges": spark.read.parquet(str(graph_path / "edges")).count(),
+        "nodes": spark.read.parquet(str(graph_path / "nodes")).count() if has_nodes else 0,
+        "edges": spark.read.parquet(str(graph_path / "edges")).count() if has_edges else 0,
     }
     remap.unpersist()
     new_nodes_tbl.unpersist()
@@ -519,8 +546,14 @@ def rebucket_graph(spark: SparkSession, graph_dir: str, new_n_buckets: int) -> d
         for name in ("nodes", "edges"):
             SINK.recover_replace(graph_path / name)
             SINK.recover(graph_path / name)
-        if not (graph_path / "nodes").exists() or not (graph_path / "edges").exists():
-            # no batches committed yet: only the pinned modulus changes
+        # rewrite every PRESENT table; a missing side (no batch has
+        # emitted rows for it yet) has no rows under any modulus, so
+        # only the pinned meta changes for it.  A graph with neither
+        # table is a pure modulus update.
+        present = [
+            name for name in ("edges", "nodes") if (graph_path / name).exists()
+        ]
+        if not present:
             meta["n_buckets"] = new_n_buckets
             meta_file.write_text(json.dumps(meta))
             return {"n_buckets": new_n_buckets, "nodes": 0, "edges": 0,
@@ -530,11 +563,12 @@ def rebucket_graph(spark: SparkSession, graph_dir: str, new_n_buckets: int) -> d
 
         edge_bucket = F.pmod(F.xxhash64(*EDGE_KEY), F.lit(new_n_buckets)).cast("int")
         node_bucket = F.pmod(F.xxhash64("label", "key"), F.lit(new_n_buckets)).cast("int")
-        stats = {"n_buckets": new_n_buckets}
-        for name, bucket_col in (("edges", edge_bucket), ("nodes", node_bucket)):
+        bucket_for = {"edges": edge_bucket, "nodes": node_bucket}
+        stats = {"n_buckets": new_n_buckets, "nodes": 0, "edges": 0}
+        for name in present:
             table = graph_path / name
             df = spark.read.parquet(str(table)).drop("bucket")
-            SINK.replace_table(spark, table, df, bucket_col, batch_id)
+            SINK.replace_table(spark, table, df, bucket_for[name], batch_id)
             stats[name] = spark.read.parquet(str(table)).count()
 
         meta["n_buckets"] = new_n_buckets

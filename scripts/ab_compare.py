@@ -56,6 +56,19 @@ def main() -> None:
             ["git", "worktree", "add", "--detach", str(worktree), commit_a_hash],
             cwd=REPO, check=True,
         )
+    else:
+        # a reused worktree may be checked out at a DIFFERENT commit (a
+        # previous run with another commit_a) — legs would silently run
+        # the wrong code under this run's commit_a label
+        at = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=worktree, capture_output=True,
+            text=True, check=True,
+        ).stdout.strip()
+        if at != commit_a_hash:
+            subprocess.run(
+                ["git", "checkout", "--detach", commit_a_hash],
+                cwd=worktree, check=True,
+            )
 
     def drain_spark(max_wait_s: float = 60.0) -> None:
         """Wait for the PREVIOUS leg's JVM / pyspark daemons to fully
@@ -92,21 +105,26 @@ def main() -> None:
             cmd = [sys.executable, str(repo_dir / "bench.py")]
             if os.path.exists("/usr/bin/taskset"):
                 cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+            import tempfile as _tempfile
+
             started = time.time()
             episodes = 0
             cpu_before = _cpu_ns()
-            proc = subprocess.Popen(
-                cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                text=True, cwd=str(repo_dir),
-            )
-            while proc.poll() is None:
-                if time.time() - started > 3600:
-                    proc.kill()
-                    raise TimeoutError("A-leg exceeded 3600s")
-                if hostguard.foreign_spark_processes():
-                    episodes += 1
-                time.sleep(5)
-            out = proc.communicate()[0]
+            # stdout to a file: the poll loop does not drain pipes
+            with _tempfile.TemporaryFile(mode="w+t") as out_file:
+                proc = subprocess.Popen(
+                    cmd, env=env, stdout=out_file, stderr=subprocess.DEVNULL,
+                    text=True, cwd=str(repo_dir),
+                )
+                while proc.poll() is None:
+                    if time.time() - started > 3600:
+                        proc.kill()
+                        raise TimeoutError("A-leg exceeded 3600s")
+                    if hostguard.foreign_spark_processes():
+                        episodes += 1
+                    time.sleep(5)
+                out_file.seek(0)
+                out = out_file.read()
             cpu_after = _cpu_ns()
             run = json.loads(
                 [l for l in out.strip().splitlines() if l.startswith("{")][-1]

@@ -60,39 +60,47 @@ def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
                 continue
         return None
 
+    import tempfile as _tempfile
+
     before = _container_cpu_ns()
-    proc = subprocess.Popen(
-        cmd,
-        env=env,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
-        text=True,
-        cwd=str(REPO),
-    )
-    # in-flight contamination monitor (round-3 verdict next #1): poll for
-    # Spark processes not descended from THIS script (the leg's own JVM
-    # and workers are children of `proc`, hence of us) and for host-load
-    # spikes.  A leg any foreign JVM overlaps burns the same container
-    # CPU quota/cores and is garbage — flag it so the caller can retry.
-    started = time.time()
-    episodes = 0
-    foreign_seen: list[str] = []
-    max_load = 0.0
-    while proc.poll() is None:
-        if time.time() - started > 3600:
-            proc.kill()
-            raise TimeoutError(f"leg local[{cpus}] exceeded 3600s")
-        foreign = hostguard.foreign_spark_processes()
-        if foreign:
-            episodes += 1
-            for _pid, cmdline in foreign[:2]:
-                if cmdline not in foreign_seen:
-                    foreign_seen.append(cmdline)
-        load_now = hostguard.load1()
-        if load_now is not None:
-            max_load = max(max_load, load_now)
-        time.sleep(5)
-    out_text = proc.communicate()[0]
+    # child stdout goes to a FILE, not a pipe: the monitor loop below
+    # does not drain pipes, and a leg whose Spark output exceeded the
+    # pipe buffer would block forever and die as a bogus timeout
+    with _tempfile.TemporaryFile(mode="w+t") as out_file:
+        proc = subprocess.Popen(
+            cmd,
+            env=env,
+            stdout=out_file,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            cwd=str(REPO),
+        )
+        # in-flight contamination monitor (round-3 verdict next #1): poll
+        # for Spark processes not descended from THIS script (the leg's
+        # own JVM and workers are children of `proc`, hence of us) and
+        # for host-load spikes.  A leg any foreign JVM overlaps burns the
+        # same container CPU quota/cores and is garbage — flag it so the
+        # caller can retry.
+        started = time.time()
+        episodes = 0
+        foreign_seen: list[str] = []
+        max_load = 0.0
+        while proc.poll() is None:
+            if time.time() - started > 3600:
+                proc.kill()
+                raise TimeoutError(f"leg local[{cpus}] exceeded 3600s")
+            foreign = hostguard.foreign_spark_processes()
+            if foreign:
+                episodes += 1
+                for _pid, cmdline in foreign[:2]:
+                    if cmdline not in foreign_seen:
+                        foreign_seen.append(cmdline)
+            load_now = hostguard.load1()
+            if load_now is not None:
+                max_load = max(max_load, load_now)
+            time.sleep(5)
+        out_file.seek(0)
+        out_text = out_file.read()
     after = _container_cpu_ns()
     line = [l for l in out_text.strip().splitlines() if l.startswith("{")][-1]
     run = json.loads(line)

@@ -698,3 +698,36 @@ def test_maintenance_on_empty_graph_is_noop(spark, tmp_path) -> None:
     )["n_buckets"] == 16
     assert not (graph / "_rebucket_intent.json").exists()
     assert not (graph / "_compact.lock").exists()
+
+    # a graph with only ONE table present (batches emitted nodes but no
+    # edges yet) must still compact and rebucket the present side —
+    # skipping would freeze canonicalization, and a modulus change that
+    # does not rewrite the existing table would corrupt it
+    from pyspark.sql import functions as F
+
+    node_schema = (
+        "label string, key string, name_ar string, confidence double, "
+        "variants array<string>, mention_count long, best_conv string, "
+        "best_turn int, best_emit long, book_ref string, chapter string"
+    )
+    nodes = spark.createDataFrame(
+        [("Scholar", "مالك", "مالك", 1.0, ["مالك"], 1, "c1", 0, 1, None, None)],
+        node_schema,
+    )
+    nb = F.pmod(F.xxhash64("label", "key"), F.lit(16)).cast("int")
+    nodes.withColumn("bucket", nb).write.partitionBy("bucket").parquet(
+        str(graph / "nodes")
+    )
+    stats = compact_graph_stream(spark, str(graph), gazetteer_bc)
+    assert "skipped" not in stats and stats["nodes"] == 1 and stats["edges"] == 0
+    stats = rebucket_graph(spark, str(graph), 5)
+    assert "skipped" not in stats and stats["nodes"] == 1
+    assert json_mod.loads(
+        (graph / "_graph_meta.json").read_text()
+    )["n_buckets"] == 5
+    got = spark.read.parquet(str(graph / "nodes"))
+    assert got.count() == 1
+    # the surviving row really lives under the new modulus
+    bucket_val = got.select("bucket").first()[0]
+    import math
+    assert 0 <= bucket_val < 5
