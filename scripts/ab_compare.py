@@ -144,29 +144,38 @@ def main() -> None:
             "foreign_jvm_cmds": run.get("foreign_jvm_cmds"),
         }
 
-    # accumulate across invocations: same (commits, workload, cpus) =>
-    # earlier legs stay in the artifact, like the scaling pair history
+    # accumulate across invocations: same (commit_a, workload, cpus) =>
+    # earlier legs stay in the artifact, like the scaling pair history.
+    # commit_b (the working tree) naturally advances between invocations;
+    # every leg carries its own commit label, so B-side legs from several
+    # HEAD commits coexist and the history is recorded.
     evidence_path = REPO / "AB_EVIDENCE.json"
     legs = []
     interpretation = None
+    commit_b_history: list[str] = []
     if evidence_path.exists():
         previous = json.loads(evidence_path.read_text())
         if (
             previous.get("commit_a") == commit_a_hash
-            and previous.get("commit_b") == commit_b_hash
             and previous.get("cpus") == cpus
             and previous.get("workload", {}).get("convs_per_doc") == convs_per_doc
         ):
             legs = list(previous.get("legs", []))
             interpretation = previous.get("interpretation")
+            commit_b_history = list(previous.get("commit_b_history", []))
+            old_b = previous.get("commit_b")
+            if old_b and old_b not in commit_b_history:
+                commit_b_history.append(old_b)
+    if commit_b_hash not in commit_b_history:
+        commit_b_history.append(commit_b_hash)
     for i in range(rounds):
         for repo_dir, commit in ((worktree, commit_a_hash), (REPO, commit_b_hash)):
             result = leg(repo_dir, commit)
             legs.append(result)
             print(json.dumps(result), flush=True)
 
-    def best(commit: str) -> dict:
-        mine = [l for l in legs if l["commit"] == commit]
+    def best_of(commits: list[str]) -> dict:
+        mine = [l for l in legs if l["commit"] in commits]
         clean = [l for l in mine if not l["contaminated"]] or mine
         return min(clean, key=lambda l: l["wall_s"])
 
@@ -179,12 +188,13 @@ def main() -> None:
         ),
         "commit_a": commit_a_hash,
         "commit_b": commit_b_hash,
+        "commit_b_history": commit_b_history,
         "cpus": cpus,
         "workload": {
             "sf_dir": sf_dir, "convs_per_doc": convs_per_doc, "turns": turns,
         },
         "legs": legs,
-        "best": {"a": best(commit_a_hash), "b": best(commit_b_hash)},
+        "best": {"a": best_of([commit_a_hash]), "b": best_of(commit_b_history)},
     }
     if interpretation:
         evidence["interpretation"] = interpretation
