@@ -563,6 +563,24 @@ def q_kg_stream_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAPACITY = 512
+PACK_GROUPS = 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data sample packing: greedy in-order capacity packing of
+    documents into max-512-token packs across 8 independent hash-grouped
+    streams (operators/packing.pack_sequences).  The oracle replays the
+    per-group greedy walk as a recursive CTE carrying (pack_id, used),
+    so the assignment is differentially checked row for row."""
+    from islamic_ner_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, capacity=PACK_CAPACITY, n_groups=PACK_GROUPS
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch STATEFUL streaming dedup (applyInPandasWithState,
     one boolean of state per content hash) over an id-range-ordered
@@ -682,6 +700,7 @@ QUERIES = {
     "kg_stream_nodes": q_kg_stream_nodes,
     "stream_dedup": q_stream_dedup,
     "stream_windowed_mentions": q_stream_windowed_mentions,
+    "sequence_packing": q_sequence_packing,
     # model-NER path (deterministic numpy encoder, chunked core)
     "model_ner": q_model_ner,
 }
@@ -1268,6 +1287,35 @@ ORACLE_SQL.update({
     # equal the one-shot batch aggregation row for row.
     "kg_stream_edges": _EDGE_MERGE_SQL,
     "kg_stream_nodes": _NODE_MERGE_SQL,
+    # greedy in-order capacity packing replayed as a recursive CTE: the
+    # walk's (pack_id, used) carry advances one document per recursion
+    # step within each hash group — identical CASE logic to the Arrow walk
+    "sequence_packing": f"""
+        WITH RECURSIVE numbered AS (
+            SELECT doc_id,
+                   CAST(doc_id % {PACK_GROUPS} AS INTEGER) AS grp,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY doc_id % {PACK_GROUPS} ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        walk AS (
+            SELECT grp, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT n.grp, n.rn, n.doc_id, n.n_tokens,
+                   CASE WHEN w.used + n.n_tokens > {PACK_CAPACITY}
+                        THEN w.pack_id + 1 ELSE w.pack_id END,
+                   CASE WHEN w.used + n.n_tokens > {PACK_CAPACITY}
+                        THEN n.n_tokens ELSE w.used + n.n_tokens END
+            FROM walk w
+            JOIN numbered n ON n.grp = w.grp AND n.rn = w.rn + 1
+        )
+        SELECT doc_id, grp AS "group", pack_id, n_tokens FROM walk
+    """,
     # the stateful dedup stream vs a batch GROUP BY over the SOURCE
     # table (not staged stream output): ascending id-range batch order
     # makes the cross-batch stateful winner the global min id

@@ -33,6 +33,33 @@ TRANSCRIPTS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
 
+
+def read_transcripts(
+    spark: SparkSession, path: str, *, source_format: str = "parquet"
+) -> DataFrame:
+    """Schema-pinned transcript reader for the engine's input contract.
+
+    ``source_format``: ``parquet`` (canonical), ``json`` (JSONL — the
+    common chat-log interchange form; one turn object per line,
+    timestamps as ISO-8601 strings), or ``csv`` (header row expected).
+    The schema is ALWAYS pinned to ``TRANSCRIPTS_SCHEMA`` rather than
+    inferred: at 100 TB, schema inference is an extra full pass over the
+    data, and a drifting inferred type (e.g. ``turn_idx`` as string)
+    would silently poison every downstream ordinal merge.  Malformed
+    rows surface as nulls (Spark PERMISSIVE mode) so the ingest filters
+    can count/quarantine them instead of the job dying mid-scan."""
+    reader = spark.read.schema(TRANSCRIPTS_SCHEMA)
+    if source_format == "parquet":
+        return reader.parquet(path)
+    if source_format == "json":
+        return reader.json(path)
+    if source_format == "csv":
+        return reader.option("header", "true").csv(path)
+    raise ValueError(
+        f"unsupported transcripts format {source_format!r} "
+        "(expected parquet, json, or csv)"
+    )
+
 # Sampling pools (fixture-derived; see islamic_ner_spark/data/gazetteers/).
 CHAIN_SCHOLARS: Tuple[str, ...] = (
     "عبد الله بن يوسف",

@@ -178,3 +178,35 @@ def test_oversample_candidate_cap(spark) -> None:
         F.explode("labels").alias("l")
     ).where(F.col("l") == "B-SCHOLAR").count()
     assert n_scholar >= 80
+
+
+def test_read_transcripts_jsonl_roundtrip(spark, tmp_path) -> None:
+    """JSONL chat logs read through the schema-pinned reader feed the
+    pipeline identically to parquet input."""
+    from islamic_ner_spark.sources.transcripts import (
+        TRANSCRIPTS_SCHEMA,
+        read_transcripts,
+        synthetic_transcripts,
+    )
+
+    transcripts = synthetic_transcripts(spark, 5, turns_per_conv=3)
+    transcripts.write.json(str(tmp_path / "jsonl"))
+    transcripts.write.parquet(str(tmp_path / "pq"))
+
+    via_json = read_transcripts(spark, str(tmp_path / "jsonl"), source_format="json")
+    via_parquet = read_transcripts(spark, str(tmp_path / "pq"))
+    assert via_json.schema == via_parquet.schema
+    assert sorted(map(tuple, via_json.collect())) == sorted(
+        map(tuple, via_parquet.collect())
+    )
+
+    # malformed rows surface as nulls, not a dead job
+    (tmp_path / "jsonl" / "bad.json").write_text('{"conv_id": "c9", "turn_idx": "NOT_AN_INT"}\n')
+    rows = read_transcripts(spark, str(tmp_path / "jsonl"), source_format="json").collect()
+    bad = [r for r in rows if r["conv_id"] == "c9"]
+    assert len(bad) == 1 and bad[0]["turn_idx"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        read_transcripts(spark, str(tmp_path / "pq"), source_format="xml")
