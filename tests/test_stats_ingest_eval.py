@@ -206,6 +206,13 @@ def test_read_transcripts_jsonl_roundtrip(spark, tmp_path) -> None:
     bad = [r for r in rows if r["conv_id"] == "c9"]
     assert len(bad) == 1 and bad[0]["turn_idx"] is None
 
+    # CSV (header) round-trips too, including timestamp parsing
+    transcripts.write.option("header", True).csv(str(tmp_path / "csv"))
+    via_csv = read_transcripts(spark, str(tmp_path / "csv"), source_format="csv")
+    assert sorted(map(tuple, via_csv.collect())) == sorted(
+        map(tuple, via_parquet.collect())
+    )
+
     import pytest
 
     with pytest.raises(ValueError, match="unsupported"):
