@@ -152,6 +152,28 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: ROLLUP over (event_type, user cohort)
+    with grouping-id disambiguation — the grouping-sets family the
+    reference's checklist lacks, expressed as one Catalyst rollup
+    (subtotals and the grand total come from the same shuffle as the
+    base aggregate, not three scans)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "user_cohort", F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+        )
+        .rollup("event_type", "user_cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
+            .cast("long")
+            .alias("value_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation (exact decimal arithmetic)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -674,6 +696,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "events_sessionize": q_events_sessionize,
     "events_type_stats": q_events_type_stats,
+    "events_rollup": q_events_rollup,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "orders_per_nation": q_orders_per_nation,
     "embedding_topk": q_embedding_topk,
@@ -786,6 +809,21 @@ ORACLE_SQL = {
                CAST(row_number() OVER (ORDER BY n_events DESC, event_type ASC) AS BIGINT)
                    AS rank
         FROM agg
+    """,
+    "events_rollup": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(user_id % 4 AS INTEGER) AS user_cohort,
+                   value
+            FROM events
+        )
+        SELECT event_type, user_cohort,
+               COUNT(*) AS n_events,
+               CAST(round(SUM(CAST(value AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+                   AS value_cents,
+               CAST(GROUPING(event_type, user_cohort) AS BIGINT) AS gid
+        FROM e
+        GROUP BY ROLLUP(event_type, user_cohort)
     """,
     "lineitem_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
