@@ -80,6 +80,14 @@ def main() -> int:
         "window + running-sum + groupBy all reuse the user_id exchange",
     )
 
+    plan = plan_of(dq.QUERIES["events_rollup"](spark, sf_dir))
+    check(
+        "events_rollup: one shuffle for all grouping sets",
+        "Expand" in plan and plan.count("Exchange") == 1,
+        "ROLLUP expands grouping sets map-side and aggregates through a "
+        "single exchange (not one scan per subtotal level)",
+    )
+
     plan = plan_of(dq.QUERIES["dedup_exact"](spark, sf_dir))
     check(
         "dedup_exact: map-side partial aggregation",
