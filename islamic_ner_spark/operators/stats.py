@@ -231,3 +231,33 @@ def oversample_to_targets(
         .drop("_mult", "_copy")
     )
     return yields.drop("_rid", "_yield").unionByName(clones.drop("_rid", "_yield"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    *,
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic stratified sample: the first ``k`` rows of each
+    stratum under hash order of ``key_col`` (md5 of its string form).
+
+    Hash order makes the pick independent of physical row layout (a
+    `LIMIT k` per group would change with partitioning) and unbiased
+    with respect to any natural ordering of the key.  Plan shape: one
+    hash exchange keyed by the strata, a per-group sort, and a rank
+    filter — no collect, no sampling UDF.  Skew note: a stratum's rows
+    all sort on one task; for pathological strata (one group = half the
+    corpus) pre-aggregate with a salted per-salt top-k and re-rank the
+    k*n_salts survivors.
+
+    Output = the sampled rows plus ``sample_rank`` (1-based within the
+    stratum).
+    """
+    order_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*strata).orderBy(order_key.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -687,6 +687,118 @@ def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest error event at or before
+    it for the same user (operators/asof.py — one window exchange, no
+    non-equi join).  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``,
+    i.e. an independent engine's implementation of the same operator,
+    not a replay of ours.  Times in integer microseconds so gap math is
+    exact in both engines."""
+    from islamic_ner_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("err_us"),
+        F.col("event_id").alias("err_event_id"),
+    )
+    joined = asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_time="t_us",
+        right_time="err_us",
+        value_cols=["err_event_id"],
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("t_us").alias("click_us"),
+        F.coalesce("err_event_id", F.lit(-1)).alias("last_error_id"),
+        F.coalesce(F.col("t_us") - F.col("__asof_matched_t"), F.lit(-1)).alias(
+            "gap_us"
+        ),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): category counts + fingerprint of
+    the redacted text.  The synthetic corpus contains no organic PII, so
+    the harness plants deterministic contact lines (email/phone/ip per
+    doc, an account number on every third) — both engines build the same
+    dirty column, then redact with the same ordered regex chain."""
+    from islamic_ner_spark.functions.pii import pii_counts, redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact: user"), did.cast("string"), F.lit("@example.com")),
+        F.concat(
+            F.lit("tel +9665"),
+            F.lpad(F.pmod(did * 37, F.lit(100000000)).cast("string"), 8, "0"),
+        ),
+        F.concat(
+            F.lit("ip 10."),
+            F.pmod(did, F.lit(256)).cast("string"),
+            F.lit(".0."),
+            F.pmod(did * 7, F.lit(256)).cast("string"),
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("acct "),
+                F.lpad(F.pmod(did * 7919, F.lit(10**15)).cast("string"), 16, "0"),
+            ),
+        ),
+    )
+    counts = pii_counts(dirty)
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(redact_pii(dirty)).alias("redacted_fp"),
+        F.length(redact_pii(dirty)).cast("long").alias("redacted_len"),
+    )
+
+
+def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (operators/quality.py): dup-word
+    fraction, top word/bigram mass, repetitive flag — all integer."""
+    from islamic_ner_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(lang, source) sample of 5 docs by hash order
+    (operators/stats.stratified_sample)."""
+    from islamic_ner_spark.operators.stats import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang", "source"], k=5, key_col="doc_id")
+
+
+def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics rollup over the MERGE-aggregated edge table:
+    degree histogram per node label (undirected endpoint degree)."""
+    from islamic_ner_spark.operators.graph import aggregate_edges
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    edges = aggregate_edges(spark.read.parquet(staging.stage_path("kg", "edge_rows")))
+    ends = edges.select(
+        F.col("src_label").alias("label"), F.col("src_key").alias("key")
+    ).unionAll(edges.select(F.col("tgt_label"), F.col("tgt_key")))
+    deg = ends.groupBy("label", "key").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("label", "degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
 QUERIES = {
     # SQL-oracled over the source tables
     "normalize_documents": q_normalize_documents,
@@ -717,6 +829,11 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "multimodal_stats": q_multimodal_stats,
     "label_distribution": q_label_distribution,
+    "events_asof": q_events_asof,
+    "pii_redaction": q_pii_redaction,
+    "repetition_filters": q_repetition_filters,
+    "stratified_sample": q_stratified_sample,
+    "kg_degree_stats": q_kg_degree_stats,
     # streaming graph maintenance (stream + compaction == batch, checked
     # against the BATCH merge SQL over the kg-staged rows)
     "kg_stream_edges": q_kg_stream_edges,
@@ -1407,5 +1524,135 @@ ORACLE_SQL.update({
         SELECT label, n,
                CAST((n * 100000) // SUM(n) OVER () AS BIGINT) AS pct_x1000
         FROM counts
+    """,
+})
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: as-of join, PII scrub, repetition filters, stratified
+# sampling, graph degree analytics
+# ---------------------------------------------------------------------------
+
+# the dirty column both engines build before scrubbing (the synthetic
+# corpus has no organic PII, so the harness plants deterministic contact
+# lines); must mirror q_pii_redaction's Spark expression token-for-token
+_PII_DIRTY_SQL = """concat_ws(' ', text,
+            'contact: user' || CAST(doc_id AS VARCHAR) || '@example.com',
+            'tel +9665' || lpad(CAST((doc_id * 37) % 100000000 AS VARCHAR), 8, '0'),
+            'ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                     || CAST((doc_id * 7) % 256 AS VARCHAR),
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'acct ' || lpad(CAST((doc_id * 7919) % 1000000000000000
+                                           AS VARCHAR), 16, '0') END)"""
+
+
+def _pii_oracle_sql() -> str:
+    """Build the oracle from the SAME ordered pattern table the Spark
+    side applies (functions/pii.PII_PATTERNS) so they cannot drift."""
+    from islamic_ner_spark.functions.pii import PII_PATTERNS
+
+    count_exprs = []
+    col = _PII_DIRTY_SQL
+    for name, pattern, token in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({col}, '{p}')) AS BIGINT) AS n_{name}"
+        )
+        col = f"regexp_replace({col}, '{p}', '{token}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {', '.join(count_exprs)},
+               md5({col}) AS redacted_fp,
+               CAST(length({col}) AS BIGINT) AS redacted_len
+        FROM documents
+    """
+
+
+def _repetition_oracle_sql() -> str:
+    from islamic_ner_spark.operators.quality import DUP_WORD_PCT, TOP_BIGRAM_PCT
+
+    return f"""
+        WITH base AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        units AS (
+            SELECT doc_id, words,
+                   list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i + 1]) AS bigrams
+            FROM base
+        ),
+        wexp AS (SELECT doc_id, UNNEST(words) AS unit FROM units),
+        wcounts AS (SELECT doc_id, unit, COUNT(*) AS cnt FROM wexp GROUP BY 1, 2),
+        wstats AS (
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                   CAST(MAX(cnt) AS BIGINT) AS top_word_count
+            FROM wcounts GROUP BY 1
+        ),
+        bexp AS (SELECT doc_id, UNNEST(bigrams) AS unit FROM units
+                 WHERE len(bigrams) > 0),
+        bcounts AS (SELECT doc_id, unit, COUNT(*) AS cnt FROM bexp GROUP BY 1, 2),
+        bstats AS (
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(cnt) AS BIGINT) AS top_bigram_count
+            FROM bcounts GROUP BY 1
+        )
+        SELECT w.doc_id, w.n_words, w.n_distinct_words,
+               CAST((w.n_words - w.n_distinct_words) * 1000 // w.n_words
+                    AS BIGINT) AS dup_word_frac_x1000,
+               w.top_word_count,
+               COALESCE(b.n_bigrams, 0) AS n_bigrams,
+               COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+               CAST(CASE WHEN (COALESCE(b.top_bigram_count, 0) * 100
+                               >= COALESCE(b.n_bigrams, 0) * {TOP_BIGRAM_PCT}
+                               AND COALESCE(b.top_bigram_count, 0) >= 2)
+                          OR ((w.n_words - w.n_distinct_words) * 100
+                              >= w.n_words * {DUP_WORD_PCT})
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+        FROM wstats w LEFT JOIN bstats b USING (doc_id)
+    """
+
+
+ORACLE_SQL.update({
+    # independent-engine oracle: DuckDB's NATIVE ASOF JOIN implements the
+    # at-or-before semantics our union+window composition claims
+    "events_asof": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS t_us
+            FROM events WHERE event_type = 'click'
+        ),
+        errs AS (
+            SELECT user_id, epoch_us(ts) AS err_us, MAX(event_id) AS err_event_id
+            FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        )
+        SELECT c.click_id, c.user_id, c.t_us AS click_us,
+               COALESCE(e.err_event_id, -1) AS last_error_id,
+               COALESCE(c.t_us - e.err_us, -1) AS gap_us
+        FROM clicks c ASOF LEFT JOIN errs e
+          ON c.user_id = e.user_id AND c.t_us >= e.err_us
+    """,
+    "pii_redaction": _pii_oracle_sql(),
+    "repetition_filters": _repetition_oracle_sql(),
+    "stratified_sample": """
+        SELECT doc_id, lang, source, sample_rank FROM (
+            SELECT doc_id, lang, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS INTEGER) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 5
+    """,
+    "kg_degree_stats": f"""
+        WITH edges AS ({_EDGE_MERGE_SQL}),
+        ends AS (
+            SELECT src_label AS label, src_key AS key FROM edges
+            UNION ALL
+            SELECT tgt_label AS label, tgt_key AS key FROM edges
+        ),
+        deg AS (SELECT label, key, COUNT(*) AS degree FROM ends GROUP BY 1, 2)
+        SELECT label, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1, 2
     """,
 })
