@@ -149,6 +149,53 @@ def main() -> int:
         "refinement aggregates <= tasks x n_cells partial rows only",
     )
 
+    # -- as-of join: the scalable composition, not a non-equi join -------
+    plan = plan_of(dq.QUERIES["events_asof"](spark, sf_dir))
+    check(
+        "events_asof: no join operator at all",
+        "Join" not in plan,
+        "the as-of semantics compile to union + window carry-forward, "
+        "never a nested-loop/range join",
+    )
+    check(
+        "events_asof: single keyed exchange",
+        plan.count("Exchange hashpartitioning") == 1,
+        "both sides meet in ONE user_id window exchange",
+    )
+
+    # -- repetition filters: explode feeds partial agg, no self-join -----
+    plan = plan_of(dq.QUERIES["repetition_filters"](spark, sf_dir))
+    check(
+        "repetition_filters: no self-join for bigrams",
+        "SortMergeJoin" not in plan and "CartesianProduct" not in plan,
+        "bigrams are built array-side (transform), word/bigram branches "
+        "rejoin per-doc only",
+    )
+    check(
+        "repetition_filters: map-side combine on (doc, unit)",
+        plan.count("HashAggregate") >= 4,
+        "both unit rollups partial-aggregate before their exchange",
+    )
+
+    # -- stratified sample: one exchange keyed by the strata -------------
+    plan = plan_of(dq.QUERIES["stratified_sample"](spark, sf_dir))
+    check(
+        "stratified_sample: one strata exchange",
+        plan.count("Exchange hashpartitioning") == 1 and "Join" not in plan,
+        "window rank over a single (lang, source) exchange; no join, no "
+        "collect",
+    )
+
+    # -- PII scrub: pure codegen, no UDF crossing -------------------------
+    plan = plan_of(dq.QUERIES["pii_redaction"](spark, sf_dir))
+    check(
+        "pii_redaction: whole-stage codegen, zero exchanges",
+        "Exchange" not in plan
+        and "BatchEvalPython" not in plan
+        and "ArrowEvalPython" not in plan,
+        "the redaction chain is a narrow JVM-side projection",
+    )
+
     print()
     if FAILURES:
         print(f"PLAN AUDIT FAILED: {FAILURES}")
