@@ -192,3 +192,60 @@ def shortest_path(
         visited = visited.union(expanded.select("node")).distinct().localCheckpoint(eager=True)
         frontier = expanded
     return []
+
+
+def bfs_distances(
+    edges: DataFrame, source: str | None = None, max_hops: int = 8
+) -> DataFrame:
+    """All shortest-path distances from ``source`` over the undirected
+    Scholar NARRATED_FROM graph, capped at ``max_hops`` (the
+    all-destinations generalization of Q5's point-to-point BFS).
+
+    Iterative frontier expansion: each level joins the frontier to the
+    (deduplicated, undirected) edge list, anti-joins everything already
+    reached (BFS guarantees the first visit is minimal), and
+    localCheckpoints to cap lineage growth — ``max_hops`` joins total,
+    each a keyed equi-join Catalyst can broadcast when the frontier is
+    small.  When ``source`` is None the lexicographically smallest
+    scholar key seeds the walk (a deterministic choice both engines can
+    compute; the driver oracle replays the whole walk as a recursive
+    CTE with MIN(dist)).
+    """
+    scholar_edges = edges.where(
+        (F.col("pred") == "NARRATED_FROM")
+        & (F.col("src_label") == "Scholar")
+        & (F.col("tgt_label") == "Scholar")
+    ).select("src_key", "tgt_key")
+    undirected = (
+        scholar_edges.select(F.col("src_key").alias("a"), F.col("tgt_key").alias("b"))
+        .union(
+            scholar_edges.select(F.col("tgt_key").alias("a"), F.col("src_key").alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if source is None:
+        row = undirected.agg(F.min("a").alias("s")).collect()[0]  # bounded: 1 row
+        source = row["s"]
+        if source is None:
+            return edges.sparkSession.createDataFrame([], "node string, dist int")
+
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(source, 0)], "node string, dist int")
+    reached = frontier
+
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(undirected, frontier["node"] == undirected["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached

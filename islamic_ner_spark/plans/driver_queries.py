@@ -1656,3 +1656,41 @@ ORACLE_SQL.update({
         FROM deg GROUP BY 1, 2
     """,
 })
+
+
+def q_kg_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BFS distances (<= 8 hops) from the lexicographically
+    smallest scholar over the undirected NARRATED_FROM graph; the oracle
+    replays the walk as a recursive CTE with MIN(dist)."""
+    from islamic_ner_spark.operators.graph import aggregate_edges
+    from islamic_ner_spark.operators.queries import bfs_distances
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    edges = aggregate_edges(spark.read.parquet(staging.stage_path("kg", "edge_rows")))
+    return bfs_distances(edges, max_hops=8)
+
+
+QUERIES["kg_bfs_distances"] = q_kg_bfs_distances
+ORACLE_SQL["kg_bfs_distances"] = f"""
+    WITH RECURSIVE edges AS ({_EDGE_MERGE_SQL}),
+    se AS (
+        SELECT src_key, tgt_key FROM edges
+        WHERE pred = 'NARRATED_FROM'
+          AND src_label = 'Scholar' AND tgt_label = 'Scholar'
+    ),
+    und AS (
+        SELECT src_key AS a, tgt_key AS b FROM se WHERE src_key <> tgt_key
+        UNION
+        SELECT tgt_key AS a, src_key AS b FROM se WHERE src_key <> tgt_key
+    ),
+    seed AS (SELECT MIN(a) AS s FROM und),
+    bfs AS (
+        SELECT s AS node, 0 AS dist FROM seed WHERE s IS NOT NULL
+        UNION
+        SELECT u.b AS node, bfs.dist + 1 AS dist
+        FROM bfs JOIN und u ON bfs.node = u.a
+        WHERE bfs.dist < 8
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs GROUP BY node
+"""

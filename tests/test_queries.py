@@ -95,3 +95,27 @@ def test_entry_matches_staged_narration_chains(spark, tmp_path, monkeypatch) -> 
     assert sorted(map(tuple, flagship.collect())) == sorted(
         map(tuple, staged.collect())
     )
+
+
+def test_bfs_distances_hand_graph(spark) -> None:
+    """bfs_distances on a hand-built edge table: path graph + branch +
+    disconnected island; distances must be minimal and the island
+    unreachable."""
+    rows = [
+        # a - b - c - d (chain), b - e (branch), x - y (island)
+        ("NARRATED_FROM", "Scholar", "a", "Scholar", "b"),
+        ("NARRATED_FROM", "Scholar", "b", "Scholar", "c"),
+        ("NARRATED_FROM", "Scholar", "c", "Scholar", "d"),
+        ("NARRATED_FROM", "Scholar", "e", "Scholar", "b"),  # reversed dir
+        ("NARRATED_FROM", "Scholar", "x", "Scholar", "y"),
+        # noise: wrong predicate / label must be ignored
+        ("IN_BOOK", "Hadith", "a", "Book", "z"),
+    ]
+    edges = spark.createDataFrame(
+        rows, "pred string, src_label string, src_key string, tgt_label string, tgt_key string"
+    )
+    got = {r["node"]: r["dist"] for r in Q.bfs_distances(edges, source="a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "e": 2, "d": 3}
+    # default seed = lexicographic min node ("a"); max_hops truncates
+    capped = {r["node"]: r["dist"] for r in Q.bfs_distances(edges, max_hops=1).collect()}
+    assert capped == {"a": 0, "b": 1}
