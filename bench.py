@@ -248,6 +248,8 @@ def main() -> None:
             "dedup_exact",
             "lang_quality",
             "embedding_topk",
+            "events_asof",
+            "repetition_filters",
         ):
             clock.run_best_of(
                 name,

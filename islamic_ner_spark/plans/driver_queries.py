@@ -1694,3 +1694,38 @@ ORACLE_SQL["kg_bfs_distances"] = f"""
     )
     SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs GROUP BY node
 """
+
+
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab induction shape: the 10 most frequent terms per
+    source with exact counts.  Plan: explode -> partial-agg on (source,
+    term) — the wide exchange keys on BOTH columns so hot sources still
+    spread by term — then a window rank over the already term-collapsed
+    (vocabulary-sized) table."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("term"))
+    return tf.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+QUERIES["top_terms_per_source"] = q_top_terms_per_source
+ORACLE_SQL["top_terms_per_source"] = """
+    WITH words AS (
+        SELECT source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, term, COUNT(*) AS n FROM words
+        WHERE length(term) > 0 GROUP BY 1, 2
+    )
+    SELECT source, term, n, rank FROM (
+        SELECT source, term, n,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, term ASC
+               ) AS INTEGER) AS rank
+        FROM tf
+    ) WHERE rank <= 10
+"""

@@ -153,6 +153,12 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "0") or 0)
+    # mid-leg load ceiling: a leg whose 1-min loadavg spikes above this
+    # while running is retried like a contaminated one (0 = disabled).
+    # Default: the leg's own core count (cpus) plus quiet_load headroom
+    # is roughly what a clean leg shows, so anything far above the wider
+    # leg's width means a co-tenant burst.
+    loud_load = float(os.environ.get("SPARK_GRAFT_LOUD_LOAD", "0") or 0)
 
     workload = {
         "sf_dir": sf_dir, "convs_per_doc": convs_per_doc,
@@ -172,6 +178,17 @@ def main() -> None:
                 if not cpus_str.startswith("_"):
                     results[int(cpus_str)] = run
             pairs = list(seed.get("_pairs", []))
+            # apply the CURRENT loud ceiling uniformly to seeded history:
+            # legs measured before the mid-leg spike guard existed (or
+            # under a boundary bug — 18.0 > 18 was False) carry their
+            # recorded max_load1_during, so the flag is re-derivable
+            if loud_load:
+                for pair in pairs:
+                    for leg in (pair.get("small"), pair.get("large")):
+                        if leg and leg.get("max_load1_during") is not None:
+                            leg["loud"] = bool(
+                                leg["max_load1_during"] >= loud_load
+                            )
         else:
             print(f"seed workload mismatch ({seed.get('_workload')}); ignoring seed")
 
@@ -199,13 +216,26 @@ def main() -> None:
                     f"contaminated={run['contaminated']})",
                     flush=True,
                 )
-                if not run["contaminated"]:
+                # a leg is unusable when a foreign JVM overlapped it OR
+                # the host load spiked mid-leg past the loud ceiling
+                # (admission only checks load at START; the round-4
+                # 0.486 artifact was a leg admitted at load 3.9 that ran
+                # into a 14.7 spike) — both retry the same way
+                loud = bool(loud_load and run["max_load1_during"] >= loud_load)
+                run["loud"] = loud
+                if not run["contaminated"] and not loud:
                     break
+                reason = (
+                    f"foreign Spark JVM overlapped the leg "
+                    f"({run.get('foreign_jvm_cmds')})"
+                    if run["contaminated"]
+                    else f"host load spiked to {run['max_load1_during']} "
+                    f"(>= loud ceiling {loud_load}) mid-leg"
+                )
                 print(
-                    f"  foreign Spark JVM overlapped the leg "
-                    f"({run.get('foreign_jvm_cmds')}); "
+                    f"  {reason}; "
                     + ("retrying" if leg_try < leg_retries else
-                       "retries exhausted — keeping the contaminated leg (flagged)"),
+                       "retries exhausted — keeping the leg (flagged)"),
                     flush=True,
                 )
             attempt_runs[cpus] = run
@@ -257,6 +287,8 @@ def main() -> None:
             and pair["large"].get("guarded")
             and not pair["small"].get("contaminated")
             and not pair["large"].get("contaminated")
+            and not pair["small"].get("loud")
+            and not pair["large"].get("loud")
         )
 
     guarded_pool = [p for p in pairs if pair_clean(p)]
@@ -374,7 +406,12 @@ Across {len(pair_effs)} accumulated same-window pairs
 — host contention distorts a pair's ratio in either direction depending
 on which leg it hits, so the value above is taken from the
 minimum-combined-CPU pair among guarded-clean pairs (falling back to
-the full history only when no guarded pair exists).
+the full history only when no guarded pair exists).  Pair history lives
+in the gitignored `.stage/scaling_best.json` and resets when a session
+wipes `.stage/` (the headline pair is then re-seeded from this file's
+committed table); earlier epochs' distributions are recorded in this
+file's git history (round 3-4 epoch: 31 pairs, 7 guarded-clean, range
+0.413-1.094).
 {epoch_note}
 
 The CPU-s column is container CPU burned during the leg (cgroup
