@@ -261,3 +261,53 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights_pct: Dict[str, int],
+    *,
+    domain_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic downsample to a target domain mixture.
+
+    ``weights_pct`` maps domain value -> integer percent of the output
+    (summing to <= 100; domains absent from the map are dropped).  The
+    output is the LARGEST corpus achievable at exactly that mixture
+    without upsampling: feasible total T = min over domains of
+    ``(n_d * 100) // pct_d``, and each domain contributes its first
+    ``(pct_d * T) // 100`` rows under md5 hash order of ``key_col`` —
+    the same layout-independent pick as :func:`stratified_sample`.  All
+    arithmetic is integer-exact, so the membership is reproducible
+    across engines and partitionings.
+
+    Plan shape: one vocabulary-sized aggregation for the per-domain
+    counts (collected — bounded by the number of domains, not the
+    corpus), then one hash exchange keyed by ``domain_col`` for the
+    rank filter.  The per-domain quota reaches the executors as a map
+    literal, not a join.  Skew note: rows of one domain rank on one
+    task; for a domain holding half the corpus, pre-thin with a salted
+    per-salt top-quota pass first (same remedy as stratified_sample).
+    """
+    weights = {str(s): int(p) for s, p in weights_pct.items()}
+    if not weights or any(p <= 0 for p in weights.values()):
+        raise ValueError("weights_pct must be positive integer percents")
+    in_mix = df.where(F.col(domain_col).isin(list(weights)))
+    counts = {
+        r["d"]: r["n"]
+        for r in in_mix.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per domain in the mix
+    }
+    total = min((counts.get(s, 0) * 100) // p for s, p in weights.items())
+    quotas = {s: (p * total) // 100 for s, p in weights.items()}
+    quota_map = F.create_map(
+        *[lit for s in sorted(quotas) for lit in (F.lit(s), F.lit(quotas[s]))]
+    )
+    order_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(domain_col).orderBy(order_key.asc(), F.col(key_col).asc())
+    return (
+        in_mix.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota_map[F.col(domain_col)])
+    )

@@ -1729,3 +1729,87 @@ ORACLE_SQL["top_terms_per_source"] = """
         FROM tf
     ) WHERE rank <= 10
 """
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: training docs sharing any word
+    5-gram with the held-out eval slice (doc_id % 10 == 0 stands in for
+    a real benchmark table; a benchmark is fixed-size, so the eval
+    shingle set broadcasts at any corpus scale)."""
+    from islamic_ner_spark.operators.decontam import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    evalset = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(train, evalset, n=5)
+
+
+QUERIES["decontamination"] = q_decontamination
+ORACLE_SQL["decontamination"] = """
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    shing AS (
+        SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+        FROM (
+            SELECT doc_id, w, UNNEST(range(1, len(w) - 3)) AS i
+            FROM words WHERE len(w) >= 5
+        )
+    ),
+    ev AS (SELECT DISTINCT sh FROM shing WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, sh FROM shing WHERE doc_id % 10 != 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.sh) AS BIGINT) AS n_shingles,
+           CAST(COUNT(DISTINCT CASE WHEN ev.sh IS NOT NULL THEN tr.sh END)
+                AS BIGINT) AS n_shared
+    FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+    GROUP BY tr.doc_id
+    HAVING n_shared > 0
+"""
+
+# target mixture for the domain_mix_sample driver query: integer percents
+# over four of the synthetic corpus's sources (the rest are dropped)
+MIX_WEIGHTS_PCT = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture shaping: the largest exactly-weighted corpus
+    achievable without upsampling, membership picked by md5 hash order
+    (operators/stats.domain_mix_sample)."""
+    from islamic_ner_spark.operators.stats import domain_mix_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_mix_sample(
+        docs, MIX_WEIGHTS_PCT, domain_col="source", key_col="doc_id"
+    )
+
+
+QUERIES["domain_mix_sample"] = q_domain_mix_sample
+ORACLE_SQL["domain_mix_sample"] = """
+    WITH w(source, pct) AS (
+        SELECT * FROM (
+            VALUES ('src0', 40), ('src1', 30), ('src2', 20), ('src3', 10)
+        ) AS v(source, pct)
+    ),
+    counts AS (
+        SELECT d.source, COUNT(*) AS n
+        FROM documents d JOIN w ON d.source = w.source GROUP BY d.source
+    ),
+    t AS (
+        SELECT MIN((c.n * 100) // w.pct) AS total
+        FROM counts c JOIN w ON c.source = w.source
+    ),
+    k AS (SELECT w.source, (w.pct * t.total) // 100 AS quota FROM w, t),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC
+               ) AS INTEGER) AS sample_rank
+        FROM documents d JOIN w ON d.source = w.source
+    )
+    SELECT r.doc_id, r.source, r.sample_rank
+    FROM ranked r JOIN k ON r.source = k.source
+    WHERE r.sample_rank <= k.quota
+"""
