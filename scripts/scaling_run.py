@@ -335,8 +335,22 @@ def main() -> None:
     # cannot fake in either direction: "comparable" pairs burned within
     # 25% of the minimum combined CPU
     min_cost = pair_cost(chosen)
+
+    def same_speed(pair: dict) -> bool:
+        # a pair whose bracketing speed probes differ by >15% ran its
+        # two legs on effectively different machines — its ratio is a
+        # cross-speed artifact either way (legs without probes predate
+        # the instrumentation and pass; their CPU columns still gate)
+        ps = pair["small"].get("speed_probe_s")
+        pl = pair["large"].get("speed_probe_s")
+        if not ps or not pl:
+            return True
+        return abs(pl - ps) / min(ps, pl) <= 0.15
+
     comparable = [
-        p for p in (guarded_pool or pairs) if pair_cost(p) <= 1.25 * min_cost
+        p
+        for p in (guarded_pool or pairs)
+        if pair_cost(p) <= 1.25 * min_cost and same_speed(p)
     ]
     comparable_effs = sorted(
         round(
@@ -470,8 +484,10 @@ Across {len(pair_effs)} accumulated same-window pairs
 {pair_effs[0] if pair_effs else 'n/a'}-{pair_effs[-1] if pair_effs else 'n/a'};
 among the {len(comparable_effs)} pairs whose combined CPU burn is within
 25% of the best pair's (CPU inflation is the direct, load-heuristic-free
-signature of a contended window — same work, more stalled cycles) the
-range tightens to {comparable_effs[0] if comparable_effs else 'n/a'}-{comparable_effs[-1] if comparable_effs else 'n/a'}
+signature of a contended window — same work, more stalled cycles) AND
+whose bracketing speed probes agree within 15% (same effective machine
+for both legs) the range tightens to
+{comparable_effs[0] if comparable_effs else 'n/a'}-{comparable_effs[-1] if comparable_effs else 'n/a'}
 — host contention distorts a pair's ratio in either direction depending
 on which leg it hits, so the value above is taken from the
 minimum-combined-CPU pair among guarded-clean pairs (falling back to
