@@ -411,3 +411,81 @@ def simhash_pairs_from_signatures(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def duplicated_passages(
+    docs: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact cross-document substring (passage) duplication profile.
+
+    The document-level dedup family above treats a document as one
+    unit; training corpora also need the finer measure — passages
+    (boilerplate, quoted chains, licence blocks) repeated VERBATIM
+    across otherwise-distinct documents (the suffix-array substring
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", approximated at fixed granularity).  A word
+    ``width``-gram window slides over each document; a window is
+    duplicated when its exact text occurs in >= 2 DISTINCT documents.
+
+    Returns one row per document: total window count, duplicated
+    window count, and the x1000 integer fraction — everything
+    integer/string-exact, so the driver's DuckDB oracle recomputes the
+    same profile from scratch.
+
+    Scale shape: explode is narrow; the distinct on (shingle, doc) and
+    the shingle-frequency agg are one shuffle each keyed on the shingle
+    hash (uniform by construction); the flag join back to windows is a
+    plain equi-join — no all-pairs step anywhere, same discipline as
+    the MinHash path above.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.when(
+                F.size(words) >= width,
+                F.expr(
+                    f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {width} + 1),"
+                    f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {width})))"
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("wins"),
+        )
+        .select("doc_id", F.explode_outer("wins").alias("w"))
+        .select("doc_id", F.md5("w").alias("h"))
+    )
+    windows = sh.where(F.col("h").isNotNull())
+    dup_shingles = (
+        windows.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    flagged = windows.join(
+        dup_shingles.withColumn("dup", F.lit(1)), "h", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.coalesce("dup", F.lit(0))).alias("n_dup_windows"),
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.expr("(coalesce(n_dup_windows, 0L) * 1000) div n_windows"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_frac_x1000"),
+        )
+    )

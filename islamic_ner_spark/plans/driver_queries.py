@@ -1813,3 +1813,223 @@ ORACLE_SQL["domain_mix_sample"] = """
     FROM ranked r JOIN k ON r.source = k.source
     WHERE r.sample_rank <= k.quota
 """
+
+
+# --- whole-graph analytics: integer-exact PageRank + triangles ----------
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point (x1e9) PageRank over the scholar narration digraph;
+    integer division only, so the unrolled-CTE oracle replays every
+    iteration bit-for-bit (operators/graph_analytics.py)."""
+    from islamic_ner_spark.operators.graph import aggregate_edges
+    from islamic_ner_spark.operators.graph_analytics import pagerank_integer
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    edges = aggregate_edges(spark.read.parquet(staging.stage_path("kg", "edge_rows")))
+    return pagerank_integer(edges)
+
+
+def _pagerank_oracle_sql(n_iters: int = 5, scale: int = 1_000_000_000) -> str:
+    base = (15 * scale) // 100
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               CAST({base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+        FROM pnodes n LEFT JOIN (
+            SELECT e.tgt AS node, CAST(SUM(r.rank // o.d) AS BIGINT) AS s
+            FROM se e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.tgt
+        ) s ON n.node = s.node
+    )""")
+    return f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    se AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    pnodes AS (SELECT src AS node FROM se UNION SELECT tgt AS node FROM se),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM pnodes),
+    {",".join(iters)}
+    SELECT node, rank AS rank_x1e9 FROM r{n_iters}
+    """
+
+
+QUERIES["kg_pagerank"] = q_kg_pagerank
+ORACLE_SQL["kg_pagerank"] = _pagerank_oracle_sql()
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle enumeration over the undirected scholar
+    graph (operators/graph_analytics.py); rows are lexicographically
+    sorted key triples."""
+    from islamic_ner_spark.operators.graph import aggregate_edges
+    from islamic_ner_spark.operators.graph_analytics import triangles
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    edges = aggregate_edges(spark.read.parquet(staging.stage_path("kg", "edge_rows")))
+    return triangles(edges)
+
+
+QUERIES["kg_triangles"] = q_kg_triangles
+ORACLE_SQL["kg_triangles"] = f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    se AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, tgt) AS u, GREATEST(src, tgt) AS v FROM se
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS b
+        FROM und e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM oriented e1 JOIN oriented e2 ON e1.b = e2.a
+        WHERE EXISTS (
+            SELECT 1 FROM oriented e3 WHERE e3.a = e1.a AND e3.b = e2.b
+        )
+    )
+    SELECT list_sort([x, y, z])[1] AS s1,
+           list_sort([x, y, z])[2] AS s2,
+           list_sort([x, y, z])[3] AS s3
+    FROM tri
+"""
+
+
+# --- passage-level exact dedup + tokenizer vocab coverage ---------------
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage profile (word 8-gram windows
+    occurring verbatim in >= 2 distinct docs; operators/dedup.py)."""
+    from islamic_ner_spark.operators.dedup import duplicated_passages
+
+    return duplicated_passages(_read(spark, sf_dir, "documents"), width=8)
+
+
+QUERIES["substring_dedup"] = q_substring_dedup
+ORACLE_SQL["substring_dedup"] = """
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS i, w
+        FROM words WHERE len(w) >= 8
+    ),
+    sh AS (
+        SELECT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS h FROM wins
+    ),
+    dup AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh)
+        GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    per_doc AS (
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows
+        FROM sh s LEFT JOIN dup d ON s.h = d.h GROUP BY s.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(p.n_windows, 0) AS n_windows,
+           COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+           CAST(CASE WHEN COALESCE(p.n_windows, 0) > 0
+                     THEN (COALESCE(p.n_dup_windows, 0) * 1000) // p.n_windows
+                     ELSE 0 END AS BIGINT) AS dup_frac_x1000
+    FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: the global top-500 terms (count
+    desc, term asc — a strict total order, so the cutoff is
+    deterministic) are the 'vocab'; per document, how many tokens fall
+    outside it (OOV rate x1000, integer division).
+
+    Plan shape: term-frequency agg (one exchange, vocabulary-sized
+    output) -> global top-K via sort-limit (TakeOrdered, no full sort)
+    -> broadcast the 500-row vocab back over the token stream -> per-doc
+    agg.  The corpus-sized stream is never joined against anything
+    bigger than a broadcast."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = tf.orderBy(F.desc("n"), F.asc("term")).limit(500).select("term")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("iv", F.lit(1))), "term", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.expr("(coalesce(n_oov, 0L) * 1000) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("oov_x1000"),
+        )
+    )
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+ORACLE_SQL["vocab_coverage"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    toks_nz AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (SELECT term, COUNT(*) AS n FROM toks_nz GROUP BY term),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS rn
+            FROM tf
+        ) WHERE rn <= 500
+    ),
+    per_doc AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM toks_nz t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_oov, 0) AS n_oov,
+           CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                     THEN (COALESCE(p.n_oov, 0) * 1000) // p.n_tokens
+                     ELSE 0 END AS BIGINT) AS oov_x1000
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

@@ -4,7 +4,8 @@ Runs every queries() entry at a given sf dir; where an oracle_sql() entry
 exists, runs it in DuckDB over the same parquet files and compares row
 count, column names, and an order-insensitive value multiset.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+(with no query names, runs every entry)
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ def multiset(rows, columns):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
     from islamic_ner_spark.session import build_session
@@ -61,6 +63,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         spark_rows = sdf.collect()
         spark_cols = sdf.columns

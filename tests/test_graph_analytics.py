@@ -1,0 +1,149 @@
+"""PageRank / triangle enumeration / passage dedup unit tests.
+
+Hand-built graphs with hand-computed fixed-point expectations, plus a
+pure-Python replay of the integer PageRank recurrence on a seeded
+random digraph (the same role the DuckDB unrolled-CTE oracle plays in
+the driver harness, but independent of any SQL engine).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from islamic_ner_spark.operators.dedup import duplicated_passages
+from islamic_ner_spark.operators.graph_analytics import (
+    PAGERANK_SCALE,
+    pagerank_integer,
+    triangles,
+)
+
+EDGE_SCHEMA = (
+    "pred string, src_label string, src_key string, "
+    "tgt_label string, tgt_key string"
+)
+
+
+def _edges(spark, pairs, noise=True):
+    rows = [("NARRATED_FROM", "Scholar", s, "Scholar", t) for s, t in pairs]
+    if noise:
+        rows.append(("IN_BOOK", "Hadith", "h1", "Book", "b1"))
+        rows.append(("NARRATED_FROM", "Scholar", "self", "Scholar", "self"))
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def _python_pagerank(pairs, n_iters=5, scale=PAGERANK_SCALE):
+    """Independent replay of the integer recurrence (floor division)."""
+    se = sorted(set((s, t) for s, t in pairs if s != t))
+    nodes = sorted({s for s, _ in se} | {t for _, t in se})
+    out = {}
+    for s, _ in se:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = (15 * scale) // 100
+    for _ in range(n_iters):
+        sums = {n: 0 for n in nodes}
+        for s, t in se:
+            sums[t] += rank[s] // out[s]
+        rank = {n: base + (85 * sums[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_two_cycle_fixed_point(spark) -> None:
+    # a <-> b is a fixed point of the recurrence: rank stays exactly 1.0
+    got = {
+        r["node"]: r["rank_x1e9"]
+        for r in pagerank_integer(_edges(spark, [("a", "b"), ("b", "a")])).collect()
+    }
+    assert got == {"a": PAGERANK_SCALE, "b": PAGERANK_SCALE}
+
+
+def test_pagerank_sink_hand_computed(spark) -> None:
+    # a -> b <- c ; b dangling.  From iteration 2 on: a=c=0.15,
+    # b = 0.15 + 0.85*(2*0.15) = 0.405 in fixed point.
+    got = {
+        r["node"]: r["rank_x1e9"]
+        for r in pagerank_integer(_edges(spark, [("a", "b"), ("c", "b")])).collect()
+    }
+    assert got == {"a": 150_000_000, "b": 405_000_000, "c": 150_000_000}
+
+
+def test_pagerank_matches_python_replay_random_graph(spark) -> None:
+    rng = random.Random(7)
+    names = [f"s{i:02d}" for i in range(20)]
+    pairs = sorted(
+        {
+            (rng.choice(names), rng.choice(names))
+            for _ in range(60)
+        }
+    )
+    pairs = [(s, t) for s, t in pairs if s != t]
+    got = {
+        r["node"]: r["rank_x1e9"]
+        for r in pagerank_integer(_edges(spark, pairs)).collect()
+    }
+    assert got == _python_pagerank(pairs)
+
+
+def test_pagerank_duplicate_and_reversed_edges_distinct(spark) -> None:
+    # duplicate directed edges collapse to one; reversed edges are real
+    got = pagerank_integer(
+        _edges(spark, [("a", "b"), ("a", "b"), ("b", "a")])
+    ).collect()
+    assert {r["node"]: r["rank_x1e9"] for r in got} == {
+        "a": PAGERANK_SCALE,
+        "b": PAGERANK_SCALE,
+    }
+
+
+def test_triangles_hand_graphs(spark) -> None:
+    # one triangle + a tail edge; edge directions mixed (undirected)
+    tri = triangles(
+        _edges(spark, [("a", "b"), ("c", "b"), ("a", "c"), ("c", "d")])
+    ).collect()
+    assert sorted(map(tuple, tri)) == [("a", "b", "c")]
+
+    # two triangles sharing edge a-b; duplicate edge must not double-count
+    tri2 = triangles(
+        _edges(
+            spark,
+            [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "d"), ("b", "d")],
+        )
+    ).collect()
+    assert sorted(map(tuple, tri2)) == [("a", "b", "c"), ("a", "b", "d")]
+
+    # no triangle in a path graph
+    assert triangles(_edges(spark, [("a", "b"), ("b", "c")])).count() == 0
+
+
+def test_duplicated_passages_hand_docs(spark) -> None:
+    w = [f"w{i}" for i in range(1, 11)]  # w1..w10
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w)),                # 3 windows of width 8
+            (2, " ".join(w[1:9])),           # exactly w2..w9 -> 1 window
+            (3, "too short"),                # 0 windows
+            (4, " ".join(["x"] * 16)),       # self-repeats only: 9 windows,
+                                             # no OTHER doc shares them
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac_x1000"])
+        for r in duplicated_passages(docs, width=8).collect()
+    }
+    assert got[1] == (3, 1, 333)   # the w2..w9 window is shared with doc 2
+    assert got[2] == (1, 1, 1000)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (9, 0, 0)     # within-doc repetition is not cross-doc dup
+
+
+def test_duplicated_passages_partition_invariant(spark) -> None:
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(12))) for i in range(24)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, duplicated_passages(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, duplicated_passages(docs.repartition(5)).collect()))
+    assert a == b and len(a) == 24
