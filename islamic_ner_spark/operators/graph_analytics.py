@@ -34,10 +34,14 @@ Scale shape (1000-executor reading):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 PAGERANK_SCALE = 1_000_000_000
 PAGERANK_ITERS = 5
+LPA_ITERS = 4
+KCORE_K = 2
+KCORE_ITERS = 8
+WALK_STEPS = 4
 
 
 def scholar_digraph(edges: DataFrame) -> DataFrame:
@@ -163,3 +167,211 @@ def triangles(edges: DataFrame) -> DataFrame:
     return tri.select(
         s.getItem(0).alias("s1"), s.getItem(1).alias("s2"), s.getItem(2).alias("s3")
     )
+
+
+def undirected_adjacency(edges: DataFrame) -> DataFrame:
+    """Symmetric distinct neighbor list (node, nbr) of the scholar
+    graph — each undirected edge contributes both directions."""
+    se = scholar_digraph(edges)
+    return (
+        se.select(F.col("src").alias("node"), F.col("tgt").alias("nbr"))
+        .union(se.select(F.col("tgt").alias("node"), F.col("src").alias("nbr")))
+        .distinct()
+    )
+
+
+def label_propagation(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with a deterministic update rule.
+
+    Unlike connected components (operators/components.py), LPA finds
+    DENSE regions: every node starts in its own community and each
+    round adopts the label most frequent among its neighbors.  The
+    classic algorithm breaks frequency ties randomly; here ties break
+    by (count DESC, label ASC) — a strict total order, so both engines
+    (and any partition layout) produce identical communities, and a
+    fixed ``n_iters`` keeps the oracle an unrolled CTE.
+
+    Scale shape per iteration: one equi-join of the adjacency list
+    against the node-sized label table, one partial-agg count keyed on
+    (node, label), one node-keyed window min — no collect, nothing
+    corpus-sized; localCheckpoint caps lineage like PageRank/BFS.
+
+    Returns (node, community).
+    """
+    adj = undirected_adjacency(edges).localCheckpoint(eager=True)
+    nodes = adj.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("community"))
+    for _ in range(n_iters):
+        nbr_labels = adj.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("community")
+            ),
+            "nbr",
+        )
+        counted = nbr_labels.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def kcore(
+    edges: DataFrame, k: int = KCORE_K, n_iters: int = KCORE_ITERS
+) -> DataFrame:
+    """K-core decomposition by iterative peeling, ``n_iters`` rounds.
+
+    Each round removes every node whose degree in the SURVIVING graph
+    is below ``k``; the k-core is the fixed point.  A bounded round
+    count makes the result a pure function of (graph, k, n_iters) —
+    identical in Spark and the oracle's unrolled CTE — and at KG scale
+    peeling converges in few rounds anyway (each round strictly
+    shrinks the graph or terminates).
+
+    Scale shape per round: degree count (one exchange keyed on node)
+    plus two semi-joins filtering the edge list — the edge list only
+    ever shrinks, and nothing is collected.
+
+    Returns (node, core_degree) for survivors.
+    """
+    adj = undirected_adjacency(edges).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("node")
+        adj = (
+            adj.join(keep, "node", "left_semi")
+            .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )
+
+
+def comention_network(edges: DataFrame) -> DataFrame:
+    """Scholar co-mention network: pairs of scholars attached to the
+    same source hadith, with the overlap coefficient in x1000 fixed
+    point.
+
+    The narration edges (operators/graph.py schema) carry
+    ``source_hadith``; two scholars co-mentioned in a hadith are
+    related even when no direct NARRATED_FROM edge joins them — the
+    standard co-occurrence projection a KG consumer builds next.
+    ``affinity_x1000 = 1000 * |H(a) and H(b)| div min(|H(a)|, |H(b)|)``
+    — integer division only, so the DuckDB oracle replays it exactly.
+
+    Scale shape: the pair join is keyed on ``source_hadith`` and each
+    hadith names a handful of scholars (isnad length), so the
+    within-group quadratic step is bounded by max-isnad^2 per group —
+    never an all-pairs join; the per-scholar totals are broadcast-sized
+    relative to the pair table and joined by key.
+
+    Returns (s_a, s_b, n_comention, affinity_x1000), s_a < s_b.
+    """
+    m = (
+        edges.where(
+            (F.col("pred") == "NARRATED_FROM")
+            & (F.col("src_label") == "Scholar")
+            & (F.col("tgt_label") == "Scholar")
+            & F.col("source_hadith").isNotNull()
+        )
+        .select(
+            F.col("source_hadith").alias("h"),
+            F.explode(F.array("src_key", "tgt_key")).alias("s"),
+        )
+        .distinct()
+    )
+    per_scholar = m.groupBy("s").agg(F.count(F.lit(1)).alias("nh"))
+    a = m.select("h", F.col("s").alias("s_a"))
+    b = m.select("h", F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("n_comention"))
+    )
+    na = per_scholar.select(F.col("s").alias("s_a"), F.col("nh").alias("n_a"))
+    nb = per_scholar.select(F.col("s").alias("s_b"), F.col("nh").alias("n_b"))
+    return (
+        pairs.join(na, "s_a")
+        .join(nb, "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            F.col("n_comention").cast("long").alias("n_comention"),
+            F.expr("(n_comention * 1000) div least(n_a, n_b)")
+            .cast("long")
+            .alias("affinity_x1000"),
+        )
+    )
+
+
+def random_walks(edges: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
+    """Deterministic hash-greedy walks over the narration digraph —
+    the sequence-corpus generator for graph-embedding training
+    (DeepWalk/node2vec-style), made reproducible.
+
+    One walk starts at every node; at step ``i`` from node ``u`` the
+    walk moves to the out-neighbor ``v`` minimizing
+    ``md5(u || '#' || i || '#' || v)`` — a per-(node, step) pseudo-random
+    but engine- and partition-independent choice (md5 of the same
+    string is the same everywhere), so the whole corpus is replayable
+    bit-for-bit by the SQL oracle.  A node with no out-edge ends its
+    walk early.
+
+    Scale shape per step: the frontier is node-sized (one row per
+    walk); each step is one equi-join frontier->adjacency on the
+    current node plus one walk-keyed window min.  Nothing quadratic,
+    nothing collected; lineage capped per step.
+
+    Returns (start, walk, walk_len) with walk = '->'-joined keys.
+    """
+    se = scholar_digraph(edges).localCheckpoint(eager=True)
+    nodes = (
+        se.select(F.col("src").alias("node"))
+        .union(se.select(F.col("tgt").alias("node")))
+        .distinct()
+    )
+    walks = nodes.select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("walk"),
+        F.lit(1).cast("long").alias("walk_len"),
+    )
+    for i in range(n_steps):
+        cand = walks.join(se, walks["cur"] == se["src"], "left")
+        scored = cand.withColumn(
+            "hkey",
+            F.md5(F.concat_ws("#", F.col("cur"), F.lit(str(i)), F.col("tgt"))),
+        )
+        w = Window.partitionBy("start").orderBy(F.asc_nulls_last("hkey"))
+        walks = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "start",
+                F.coalesce("tgt", "cur").alias("cur"),
+                F.when(
+                    F.col("tgt").isNotNull(),
+                    F.concat_ws("->", F.col("walk"), F.col("tgt")),
+                )
+                .otherwise(F.col("walk"))
+                .alias("walk"),
+                (
+                    F.col("walk_len")
+                    + F.when(F.col("tgt").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("walk_len"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return walks.select("start", "walk", "walk_len")

@@ -1,6 +1,6 @@
 """Driver-facing query catalog over /root/testdata tables.
 
-Every entry is DuckDB-oracled (20/20), in two styles:
+Every entry is DuckDB-oracled, in two styles:
 
 * **Direct SQL-oracled** queries: the engine's scalar/text layer
   (normalization, tokenization, dedup, language/quality scoring,
@@ -2032,4 +2032,348 @@ ORACLE_SQL["vocab_coverage"] = """
                      THEN (COALESCE(p.n_oov, 0) * 1000) // p.n_tokens
                      ELSE 0 END AS BIGINT) AS oov_x1000
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+# --- graph analytics round 2: LPA communities, k-core, co-mention,
+# --- deterministic random walks ----------------------------------------
+
+
+def _staged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from islamic_ner_spark.operators.graph import aggregate_edges
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_kg_stage(spark, sf_dir)
+    return aggregate_edges(
+        spark.read.parquet(staging.stage_path("kg", "edge_rows"))
+    )
+
+
+# MATERIALIZED matters: the iterative oracles below reference these
+# CTEs (and each other) several times per unrolled step; left to
+# DuckDB's default inlining, a 3-reference chain over 8 steps expands
+# 3^8-fold and never finishes.  Materializing pins each step to one
+# evaluation, which is also what the Spark side does (localCheckpoint).
+_SCHOLAR_GRAPH_SQL = """
+    se AS MATERIALIZED (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    pnodes AS (SELECT src AS node FROM se UNION SELECT tgt AS node FROM se),
+    adj AS MATERIALIZED (
+        SELECT src AS node, tgt AS nbr FROM se
+        UNION
+        SELECT tgt AS node, src AS nbr FROM se
+    )
+"""
+
+
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (ties by count desc,
+    label asc; fixed iterations — operators/graph_analytics.py)."""
+    from islamic_ner_spark.operators.graph_analytics import label_propagation
+
+    return label_propagation(_staged_edges(spark, sf_dir))
+
+
+def _lpa_oracle_sql(n_iters: int) -> str:
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+    l{i} AS MATERIALIZED (
+        SELECT node, community FROM (
+            SELECT a.node, l.community, COUNT(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY a.node
+                       ORDER BY COUNT(*) DESC, l.community ASC
+                   ) AS rn
+            FROM adj a JOIN l{i - 1} l ON a.nbr = l.node
+            GROUP BY a.node, l.community
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    {_SCHOLAR_GRAPH_SQL},
+    l0 AS (SELECT node, node AS community FROM pnodes),
+    {",".join(iters)}
+    SELECT node, community FROM l{n_iters}
+    """
+
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling (k=2, fixed rounds) over the undirected scholar
+    graph (operators/graph_analytics.py)."""
+    from islamic_ner_spark.operators.graph_analytics import kcore
+
+    return kcore(_staged_edges(spark, sf_dir))
+
+
+def _kcore_oracle_sql(k: int, n_iters: int) -> str:
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+    keep{i} AS MATERIALIZED (
+        SELECT node FROM adj{i - 1} GROUP BY node HAVING COUNT(*) >= {k}
+    ),
+    adj{i} AS MATERIALIZED (
+        SELECT a.node, a.nbr FROM adj{i - 1} a
+        WHERE a.node IN (SELECT node FROM keep{i})
+          AND a.nbr IN (SELECT node FROM keep{i})
+    )""")
+    return f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    {_SCHOLAR_GRAPH_SQL},
+    adj0 AS (SELECT node, nbr FROM adj),
+    {",".join(iters)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM adj{n_iters} GROUP BY node HAVING COUNT(*) >= {k}
+    """
+
+
+def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scholar co-mention pairs per source hadith with overlap
+    coefficient x1000 (operators/graph_analytics.py)."""
+    from islamic_ner_spark.operators.graph_analytics import comention_network
+
+    return comention_network(_staged_edges(spark, sf_dir))
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-greedy deterministic walks from every scholar node — the
+    graph-embedding training corpus (operators/graph_analytics.py)."""
+    from islamic_ner_spark.operators.graph_analytics import random_walks
+
+    return random_walks(_staged_edges(spark, sf_dir))
+
+
+def _walks_oracle_sql(n_steps: int) -> str:
+    iters = []
+    for i in range(n_steps):
+        iters.append(f"""
+    w{i + 1} AS MATERIALIZED (
+        SELECT start,
+               COALESCE(tgt, cur) AS cur,
+               CASE WHEN tgt IS NOT NULL THEN walk || '->' || tgt
+                    ELSE walk END AS walk,
+               CAST(walk_len + CASE WHEN tgt IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS walk_len
+        FROM (
+            SELECT w.start, w.cur, w.walk, w.walk_len, e.tgt,
+                   row_number() OVER (
+                       PARTITION BY w.start
+                       ORDER BY md5(w.cur || '#' || {i} || '#' || e.tgt)
+                                ASC NULLS LAST
+                   ) AS rn
+            FROM w{i} w LEFT JOIN se e ON w.cur = e.src
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    {_SCHOLAR_GRAPH_SQL},
+    w0 AS (
+        SELECT node AS start, node AS cur, node AS walk,
+               CAST(1 AS BIGINT) AS walk_len
+        FROM pnodes
+    ),
+    {",".join(iters)}
+    SELECT start, walk, walk_len FROM w{n_steps}
+    """
+
+
+def _register_graph_analytics_round2() -> None:
+    from islamic_ner_spark.operators.graph_analytics import (
+        KCORE_ITERS,
+        KCORE_K,
+        LPA_ITERS,
+        WALK_STEPS,
+    )
+
+    QUERIES["kg_communities"] = q_kg_communities
+    ORACLE_SQL["kg_communities"] = _lpa_oracle_sql(LPA_ITERS)
+    QUERIES["kg_kcore"] = q_kg_kcore
+    ORACLE_SQL["kg_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ITERS)
+    QUERIES["kg_comention"] = q_kg_comention
+    ORACLE_SQL["kg_comention"] = f"""
+    WITH edges_all AS MATERIALIZED ({_EDGE_MERGE_SQL}),
+    m AS (
+        SELECT DISTINCT source_hadith AS h, s FROM (
+            SELECT source_hadith, src_key AS s FROM edges_all
+            WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+              AND tgt_label = 'Scholar' AND source_hadith IS NOT NULL
+            UNION ALL
+            SELECT source_hadith, tgt_key AS s FROM edges_all
+            WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+              AND tgt_label = 'Scholar' AND source_hadith IS NOT NULL
+        )
+    ),
+    per_scholar AS (SELECT s, COUNT(*) AS nh FROM m GROUP BY s),
+    pairs AS (
+        SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_comention
+        FROM m a JOIN m b ON a.h = b.h AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT p.s_a, p.s_b,
+           CAST(p.n_comention AS BIGINT) AS n_comention,
+           CAST((p.n_comention * 1000) // LEAST(na.nh, nb.nh) AS BIGINT)
+               AS affinity_x1000
+    FROM pairs p
+    JOIN per_scholar na ON p.s_a = na.s
+    JOIN per_scholar nb ON p.s_b = nb.s
+    """
+    QUERIES["kg_random_walks"] = q_kg_random_walks
+    ORACLE_SQL["kg_random_walks"] = _walks_oracle_sql(WALK_STEPS)
+
+
+_register_graph_analytics_round2()
+
+
+# --- corpus profiling: exact length quantiles + cross-source overlap ----
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-count percentiles by rank selection (the
+    value at row ceil(q * n / 100) in length order) — integer-exact, no
+    percentile interpolation, so both engines agree bit-for-bit.
+
+    Plan shape: one (source) exchange carries both the per-source
+    row-number and the per-source count windows, then one partial-agg
+    rollup per source; the document stream is scanned once and only
+    (doc_id, source, n_tokens) survives the projection."""
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+    lens = docs.select(
+        "doc_id", "source", n_tokens.cast("long").alias("n_tokens")
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    w_all = Window.partitionBy("source")
+    ranked = lens.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"(n * {q} + 99) div 100"), F.col("n_tokens"))
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(50).cast("long").alias("p50_tokens"),
+        pick(90).cast("long").alias("p90_tokens"),
+        pick(99).cast("long").alias("p99_tokens"),
+    )
+
+
+QUERIES["length_quantiles"] = q_length_quantiles
+ORACLE_SQL["length_quantiles"] = """
+    WITH lens AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, n_tokens,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_tokens, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM lens
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_tokens END)
+                AS BIGINT) AS p50_tokens,
+           CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END)
+                AS BIGINT) AS p90_tokens,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_tokens END)
+                AS BIGINT) AS p99_tokens
+    FROM ranked GROUP BY source
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix at passage granularity: for
+    each source pair, how many distinct word 8-gram shingles they
+    share, plus the overlap coefficient x1000 (shared div the smaller
+    source's distinct-shingle count) — the corpus-level rollup of
+    substring_dedup, telling a data curator WHICH feeds duplicate each
+    other before any pair of documents is inspected.
+
+    Plan shape: shingling is narrow; distinct (source, shingle) and the
+    per-source totals are shingle/source-keyed exchanges; the pair join
+    is keyed on the shingle hash and each shingle names at most
+    n_sources sources (sources are few), so the within-group quadratic
+    step is bounded — never an all-pairs document join."""
+    docs = _read(spark, sf_dir, "documents")
+    width = 8
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (
+        docs.select(
+            "source",
+            F.when(
+                F.size(words) >= width,
+                F.expr(
+                    f"transform(sequence(1, size(split(trim(text), '\\\\s+')) - {width} + 1),"
+                    f" i -> md5(concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, {width}))))"
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("hs"),
+        )
+        .select("source", F.explode("hs").alias("h"))
+        .distinct()
+    )
+    per_source = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_source.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    nb = per_source.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("(n_shared * 1000) div least(n_a, n_b)")
+            .cast("long")
+            .alias("overlap_x1000"),
+        )
+    )
+
+
+QUERIES["source_overlap"] = q_source_overlap
+ORACLE_SQL["source_overlap"] = """
+    WITH words AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(w[i : i + 7], ' ')) AS h
+        FROM (
+            SELECT source, w, unnest(generate_series(1, len(w) - 7)) AS i
+            FROM words WHERE len(w) >= 8
+        )
+    ),
+    per_source AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST((p.n_shared * 1000) // LEAST(na.n_sh, nb.n_sh) AS BIGINT)
+               AS overlap_x1000
+    FROM pairs p
+    JOIN per_source na ON p.src_a = na.source
+    JOIN per_source nb ON p.src_b = nb.source
 """

@@ -147,3 +147,150 @@ def test_duplicated_passages_partition_invariant(spark) -> None:
     a = sorted(map(tuple, duplicated_passages(docs.coalesce(1)).collect()))
     b = sorted(map(tuple, duplicated_passages(docs.repartition(5)).collect()))
     assert a == b and len(a) == 24
+
+
+# --- LPA / k-core / co-mention / walks ---------------------------------
+
+import hashlib
+
+from islamic_ner_spark.operators.graph_analytics import (
+    comention_network,
+    kcore,
+    label_propagation,
+    random_walks,
+)
+
+
+def _python_lpa(pairs, n_iters=4):
+    """Independent replay: sync update, ties by (count desc, label asc)."""
+    se = sorted(set((s, t) for s, t in pairs if s != t))
+    adj = {}
+    for s, t in se:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    labels = {n: n for n in adj}
+    for _ in range(n_iters):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for v in nbrs:
+                counts[labels[v]] = counts.get(labels[v], 0) + 1
+            nxt[n] = min(counts, key=lambda c: (-counts[c], c))
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_python_replay(spark) -> None:
+    rng = random.Random(11)
+    names = [f"s{i:02d}" for i in range(16)]
+    pairs = [(s, t) for s, t in {(rng.choice(names), rng.choice(names))
+                                 for _ in range(40)} if s != t]
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(_edges(spark, pairs)).collect()
+    }
+    assert got == _python_lpa(pairs)
+
+
+def test_lpa_two_cliques_bridge(spark) -> None:
+    # two triangles joined by one bridge: communities never cross the
+    # bridge under 4 sync rounds of the (count desc, label asc) rule
+    clique1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    clique2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges(spark, clique1 + clique2 + [("c", "x")])
+        ).collect()
+    }
+    assert got == _python_lpa(clique1 + clique2 + [("c", "x")])
+    assert len({got["a"], got["b"], got["c"]}) == 1
+    assert len({got["x"], got["y"], got["z"]}) == 1
+
+
+def test_kcore_triangle_with_tail(spark) -> None:
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore(
+            _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_path_cascades_to_empty(spark) -> None:
+    # peeling a path removes endpoints each round until nothing is left
+    rows = kcore(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    ).collect()
+    assert rows == []
+
+
+def test_comention_hand_edges(spark) -> None:
+    rows = [
+        # h1 names a, b, c (two isnad hops); h2 names a, b
+        ("NARRATED_FROM", "Scholar", "a", "Scholar", "b", "h1"),
+        ("NARRATED_FROM", "Scholar", "b", "Scholar", "c", "h1"),
+        ("NARRATED_FROM", "Scholar", "a", "Scholar", "b", "h2"),
+        # noise: non-scholar predicate with a hadith must not count
+        ("IN_BOOK", "Hadith", "h1", "Book", "k", "h1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pred string, src_label string, src_key string, "
+        "tgt_label string, tgt_key string, source_hadith string",
+    )
+    got = {
+        (r["s_a"], r["s_b"]): (r["n_comention"], r["affinity_x1000"])
+        for r in comention_network(df).collect()
+    }
+    # nh: a=2, b=2, c=1
+    assert got == {
+        ("a", "b"): (2, 1000),
+        ("a", "c"): (1, 1000),
+        ("b", "c"): (1, 1000),
+    }
+
+
+def _python_walks(pairs, n_steps=4):
+    se = sorted(set((s, t) for s, t in pairs if s != t))
+    out = {}
+    for s, t in se:
+        out.setdefault(s, []).append(t)
+    nodes = sorted({s for s, _ in se} | {t for _, t in se})
+    walks = {}
+    for start in nodes:
+        cur, path = start, [start]
+        for i in range(n_steps):
+            nbrs = out.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda v: hashlib.md5(
+                    f"{path[-1]}#{i}#{v}".encode()
+                ).hexdigest(),
+            )
+            path.append(cur)
+        walks[start] = ("->".join(path), len(path))
+    return walks
+
+
+def test_random_walks_match_python_replay(spark) -> None:
+    rng = random.Random(3)
+    names = [f"n{i}" for i in range(12)]
+    pairs = [(s, t) for s, t in {(rng.choice(names), rng.choice(names))
+                                 for _ in range(30)} if s != t]
+    got = {
+        r["start"]: (r["walk"], r["walk_len"])
+        for r in random_walks(_edges(spark, pairs)).collect()
+    }
+    assert got == _python_walks(pairs)
+
+
+def test_random_walks_dead_end(spark) -> None:
+    got = {
+        r["start"]: (r["walk"], r["walk_len"])
+        for r in random_walks(_edges(spark, [("a", "b")])).collect()
+    }
+    assert got == {"a": ("a->b", 2), "b": ("b", 1)}
