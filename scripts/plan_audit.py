@@ -196,6 +196,81 @@ def main() -> int:
         "the redaction chain is a narrow JVM-side projection",
     )
 
+    # -- vocab coverage: the 500-term vocab broadcasts over the stream ---
+    plan = plan_of(dq.QUERIES["vocab_coverage"](spark, sf_dir))
+    check(
+        "vocab_coverage: vocab side broadcasts",
+        "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
+        "the top-500 vocab meets the token stream as a broadcast, "
+        "never a shuffled join of the corpus",
+    )
+
+    # -- substring dedup / source overlap: shingle-keyed, no all-pairs ---
+    plan = plan_of(dq.QUERIES["substring_dedup"](spark, sf_dir))
+    check(
+        "substring_dedup: no all-pairs step",
+        "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan,
+        "duplicated windows resolve through shingle-hash equi-joins only",
+    )
+    plan = plan_of(dq.QUERIES["source_overlap"](spark, sf_dir))
+    check(
+        "source_overlap: per-source totals broadcast",
+        plan.count("BroadcastHashJoin") >= 2 and "CartesianProduct" not in plan,
+        "pair join keys on the shingle hash; the source-sized totals "
+        "broadcast onto the pair table",
+    )
+
+    # -- co-mention: pair join keyed on source_hadith --------------------
+    plan = plan_of(dq.QUERIES["kg_comention"](spark, sf_dir))
+    check(
+        "kg_comention: hadith-keyed pair join",
+        "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan,
+        "within-hadith pairs come from an equi-join on source_hadith "
+        "(isnad-bounded groups), never scholar x scholar",
+    )
+
+    # -- bucketed publish layer: co-located node/edge join ---------------
+    import tempfile
+
+    from islamic_ner_spark.sources.bucketed import (
+        expand_neighbors,
+        publish_graph_tables,
+    )
+
+    nodes_df = dq.QUERIES["kg_nodes"](spark, sf_dir)
+    edges_df = dq.QUERIES["kg_edges"](spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tdir:
+        nt, et = publish_graph_tables(
+            spark, nodes_df, edges_df, tdir, prefix="audit"
+        )
+        old_thresholds = (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+            spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None),
+        )
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            plan = plan_of(expand_neighbors(spark, nt, et))
+            check(
+                "bucketed publish: exchange-free co-located join",
+                "Exchange" not in plan
+                and "SortMergeJoin" in plan
+                and plan.count("Bucketed: true") == 2,
+                "nodes(key) x edges(src_key) sort-merge over matching "
+                "bucket layouts, zero shuffle in the serving hot loop",
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thresholds[0]
+            )
+            if old_thresholds[1] is not None:
+                spark.conf.set(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                    old_thresholds[1],
+                )
+            spark.sql(f"DROP TABLE IF EXISTS {nt}")
+            spark.sql(f"DROP TABLE IF EXISTS {et}")
+
     print()
     if FAILURES:
         print(f"PLAN AUDIT FAILED: {FAILURES}")
