@@ -2377,3 +2377,257 @@ ORACLE_SQL["source_overlap"] = """
     JOIN per_source na ON p.src_a = na.source
     JOIN per_source nb ON p.src_b = nb.source
 """
+
+
+# --- training-pipeline round 3: bigram quality, shard packing,
+# --- class centroids, GNN COO export ------------------------------------
+
+
+def q_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conventionality score: the share of a document's word
+    bigrams that occur in >= 3 DISTINCT documents corpus-wide, x1000
+    integer — the cheap stand-in for LM-perplexity quality filtering
+    (a doc whose bigrams are all corpus-common is conventional text; a
+    doc full of corpus-unique bigrams is gibberish/OCR noise), kept
+    integer-exact so the oracle replays it.
+
+    Plan shape: bigrams are built array-side (transform over the word
+    array — no self-join); the distinct (bigram, doc) projection and
+    the bigram-frequency agg are shingle-keyed exchanges (uniform by
+    construction); the common-set equi-join back to the doc stream is
+    keyed on the bigram hash.  Same discipline as substring_dedup."""
+    docs = _read(spark, sf_dir, "documents")
+    words = "split(trim(text), '\\\\s+')"
+    bg = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size({words}) >= 2 THEN "
+                f"transform(sequence(1, size({words}) - 1),"
+                f" i -> md5(concat({words}[i - 1], ' ', {words}[i])))"
+                f" ELSE array() END"
+            ).alias("bgs"),
+        )
+        .select("doc_id", F.explode("bgs").alias("h"))
+    )
+    common = (
+        bg.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 3)
+        .select("h")
+    )
+    flagged = bg.join(common.withColumn("c", F.lit(1)), "h", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.coalesce("c", F.lit(0))).alias("n_common"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr("(coalesce(n_common, 0L) * 1000) div n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("conventional_x1000"),
+        )
+    )
+
+
+QUERIES["bigram_quality"] = q_bigram_quality
+ORACLE_SQL["bigram_quality"] = """
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, md5(w[i] || ' ' || w[i + 1]) AS h
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2
+        )
+    ),
+    common AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM bg)
+        GROUP BY h HAVING COUNT(*) >= 3
+    ),
+    per_doc AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_common
+        FROM bg b LEFT JOIN common c ON b.h = c.h GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.n_common, 0) AS n_common,
+           CAST(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                     THEN (COALESCE(p.n_common, 0) * 1000) // p.n_bigrams
+                     ELSE 0 END AS BIGINT) AS conventional_x1000
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment, reported per shard.
+
+    Deterministic two-level scheme that needs NO global sort: documents
+    are first binned by coarse token-count (``n_tokens div 64`` — docs
+    in a bin are near-equal cost), then round-robined across the
+    ``n_shards`` shards within each bin.  Every window is keyed by the
+    bin, so the ranking distributes across bins instead of serializing
+    through one global row_number — the standard greedy bin-packer is
+    inherently sequential; this trades a few percent of balance for a
+    fully parallel plan.
+
+    Returns (shard, n_docs, sum_tokens) — the balance report a training
+    job reads before launching."""
+    n_shards = 8
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+    lens = docs.select(
+        "doc_id", n_tokens.cast("long").alias("n_tokens")
+    ).withColumn("bin", F.expr("n_tokens div 64"))
+    w = Window.partitionBy("bin").orderBy("doc_id")
+    assigned = lens.withColumn(
+        "shard", ((F.row_number().over(w) - 1) % n_shards).cast("long")
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+QUERIES["shard_assignment"] = q_shard_assignment
+ORACLE_SQL["shard_assignment"] = """
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CAST((row_number() OVER (
+                   PARTITION BY n_tokens // 64 ORDER BY doc_id
+               ) - 1) % 8 AS BIGINT) AS shard
+        FROM lens
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM assigned GROUP BY shard
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids in x1e6 fixed point.
+
+    Dimension-wise mean of each label's vectors with every float
+    truncated to an integer FIRST (floor(x * 1e6)) — integer sums are
+    order-independent, so the centroid is invariant to partition layout
+    and engine, unlike a float mean whose value depends on reduction
+    order.  The centroids feed the IVF/ANN operators as seeds and give
+    the judge-facing class-separation diagnostic.
+
+    Plan shape: posexplode is narrow (N x dim rows), one exchange keyed
+    on (label, pos) with map-side partial sums; output is
+    n_labels x dim — tiny."""
+    emb = _read(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000).alias("xi"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("pos").cast("int").alias("pos"),
+            F.expr("s div n").cast("long").alias("centroid_x1e6"),
+        )
+    )
+
+
+QUERIES["label_centroids"] = q_label_centroids
+ORACLE_SQL["label_centroids"] = """
+    WITH exploded AS (
+        SELECT label,
+               CAST(i - 1 AS INTEGER) AS pos,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS xi
+        FROM (
+            SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings
+        )
+    )
+    SELECT CAST(label AS INTEGER) AS label, pos,
+           CAST(SUM(xi) // COUNT(*) AS BIGINT) AS centroid_x1e6
+    FROM exploded GROUP BY label, pos
+"""
+
+
+def q_kg_coo_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-ready COO edge export of the scholar graph: contiguous
+    integer vertex ids (0..V-1 in key order) plus the original keys.
+
+    The id assignment is a row_number over the sorted node set — a
+    global window, acceptable ONLY because the node table is
+    entity-vocabulary-sized (orders of magnitude below the corpus; the
+    reference's whole gazetteer is ~1e3 entities, a web-scale KG ~1e8 —
+    both fit one task's ranking easily), never corpus-sized.  The edge
+    relabeling is two broadcast-sized equi-joins."""
+    edges = _staged_edges(spark, sf_dir)
+    from islamic_ner_spark.operators.graph_analytics import scholar_digraph
+
+    se = scholar_digraph(edges)
+    nodes = (
+        se.select(F.col("src").alias("key"))
+        .union(se.select(F.col("tgt").alias("key")))
+        .distinct()
+    )
+    ids = nodes.select(
+        "key",
+        (F.row_number().over(Window.orderBy("key")) - 1)
+        .cast("long")
+        .alias("vid"),
+    )
+    src_ids = ids.select(F.col("key").alias("src"), F.col("vid").alias("src_id"))
+    tgt_ids = ids.select(F.col("key").alias("tgt"), F.col("vid").alias("tgt_id"))
+    return (
+        se.join(F.broadcast(src_ids), "src")
+        .join(F.broadcast(tgt_ids), "tgt")
+        .select("src_id", "tgt_id", F.col("src").alias("src_key"),
+                F.col("tgt").alias("tgt_key"))
+    )
+
+
+QUERIES["kg_coo_export"] = q_kg_coo_export
+ORACLE_SQL["kg_coo_export"] = f"""
+    WITH edges_all AS ({{_EM}}),
+    se AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    pnodes AS (SELECT src AS node FROM se UNION SELECT tgt AS node FROM se),
+    ids AS (
+        SELECT node AS key,
+               CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS vid
+        FROM pnodes
+    )
+    SELECT a.vid AS src_id, b.vid AS tgt_id,
+           e.src AS src_key, e.tgt AS tgt_key
+    FROM se e JOIN ids a ON e.src = a.key JOIN ids b ON e.tgt = b.key
+""".replace("{_EM}", _EDGE_MERGE_SQL)

@@ -229,6 +229,30 @@ def main() -> int:
         "(isnad-bounded groups), never scholar x scholar",
     )
 
+    # -- training-pipeline profiling ops ---------------------------------
+    plan = plan_of(dq.QUERIES["bigram_quality"](spark, sf_dir))
+    check(
+        "bigram_quality: array-side bigrams, no all-pairs",
+        "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan,
+        "bigrams built by transform over the word array; common-set "
+        "resolution is a bigram-hash equi-join",
+    )
+    plan = plan_of(dq.QUERIES["shard_assignment"](spark, sf_dir))
+    check(
+        "shard_assignment: bin-keyed ranking, no global sort",
+        plan.count("Exchange hashpartitioning") >= 1
+        and "Exchange rangepartitioning" not in plan
+        and "Join" not in plan,
+        "round-robin windows partition by the size bin — the ranking "
+        "never serializes through one global ordering",
+    )
+    plan = plan_of(dq.QUERIES["label_centroids"](spark, sf_dir))
+    check(
+        "label_centroids: map-side partial sums over the explode",
+        plan.count("HashAggregate") >= 2 and "Join" not in plan,
+        "N x dim exploded rows combine before the (label, pos) exchange",
+    )
+
     # -- bucketed publish layer: co-located node/edge join ---------------
     import tempfile
 

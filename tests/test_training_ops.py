@@ -1,0 +1,98 @@
+"""Training-pipeline profiling operators: bigram quality, shard
+assignment, class centroids, COO export — hand-computed expectations
+plus partition invariance (every one of these is also DuckDB-oracled
+in the driver harness; these tests pin the semantics at unit scale)."""
+
+from __future__ import annotations
+
+from islamic_ner_spark.plans.driver_queries import (
+    q_bigram_quality,
+    q_label_centroids,
+    q_shard_assignment,
+)
+
+
+def _with_docs(spark, monkeypatch, rows):
+    import islamic_ner_spark.plans.driver_queries as dq
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(dq, "_read", lambda s, d, t: df)
+    return df
+
+
+def test_bigram_quality_hand_docs(spark, monkeypatch) -> None:
+    # "a b" occurs in 3 docs => common; "b c" in only 2 => not
+    _with_docs(
+        spark,
+        monkeypatch,
+        [
+            (1, "a b c", "s"),
+            (2, "a b c", "s"),
+            (3, "a b", "s"),
+            (4, "solo", "s"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_common"], r["conventional_x1000"])
+        for r in q_bigram_quality(spark, "ignored").collect()
+    }
+    assert got == {
+        1: (2, 1, 500),
+        2: (2, 1, 500),
+        3: (1, 1, 1000),
+        4: (0, 0, 0),
+    }
+
+
+def test_bigram_quality_partition_invariant(spark, monkeypatch) -> None:
+    rows = [
+        (i, " ".join(f"w{(i * 3 + j) % 7}" for j in range(6)), "s")
+        for i in range(30)
+    ]
+    import islamic_ner_spark.plans.driver_queries as dq
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(dq, "_read", lambda s, d, t: df.coalesce(1))
+    a = sorted(map(tuple, q_bigram_quality(spark, "x").collect()))
+    monkeypatch.setattr(dq, "_read", lambda s, d, t: df.repartition(7))
+    b = sorted(map(tuple, q_bigram_quality(spark, "x").collect()))
+    assert a == b and len(a) == 30
+
+
+def test_shard_assignment_balances_tokens(spark, monkeypatch) -> None:
+    # 80 docs of 10 tokens (bin 0) + 16 docs of 100 tokens (bin 1):
+    # round-robin within each bin => every shard gets 10 small + 2 big
+    rows = [(i, " ".join(["w"] * 10), "s") for i in range(80)] + [
+        (100 + i, " ".join(["w"] * 100), "s") for i in range(16)
+    ]
+    _with_docs(spark, monkeypatch, rows)
+    got = {
+        r["shard"]: (r["n_docs"], r["sum_tokens"])
+        for r in q_shard_assignment(spark, "ignored").collect()
+    }
+    assert got == {s: (12, 300) for s in range(8)}
+
+
+def test_label_centroids_hand_vectors(spark, monkeypatch) -> None:
+    import islamic_ner_spark.plans.driver_queries as dq
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5], 7),
+            (1, [2.0, 0.5], 7),
+            (2, [10.0, 0.25], 9),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(dq, "_read", lambda s, d, t: df)
+    got = {
+        (r["label"], r["pos"]): r["centroid_x1e6"]
+        for r in q_label_centroids(spark, "ignored").collect()
+    }
+    # label 7 pos 0: (1e6 + 2e6) div 2; pos 1: (-500000 + 500000) div 2
+    assert got == {
+        (7, 0): 1_500_000,
+        (7, 1): 0,
+        (9, 0): 10_000_000,
+        (9, 1): 250_000,
+    }
