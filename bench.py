@@ -225,9 +225,14 @@ def main() -> None:
 
     # --- headline queries over the built graph ---------------------------
     from islamic_ner_spark.operators.components import connected_components
+    from islamic_ner_spark.operators.graph_analytics import pagerank_integer, triangles
     from islamic_ner_spark.operators.queries import top_narrators
 
     clock.run("kg_top_narrators", lambda: top_narrators(result.edges, k=20).collect())
+    # round-4 analytics headliners: both reduce to the vocabulary-sized
+    # scholar digraph first, so their cost is independent of corpus size
+    clock.run("kg_pagerank", lambda: pagerank_integer(result.edges).collect())
+    clock.run("kg_triangles", lambda: triangles(result.edges).count())
 
     def components() -> None:
         scholar_pairs = result.edges.where(
