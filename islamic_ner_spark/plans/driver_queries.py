@@ -2631,3 +2631,83 @@ ORACLE_SQL["kg_coo_export"] = f"""
            e.src AS src_key, e.tgt AS tgt_key
     FROM se e JOIN ids a ON e.src = a.key JOIN ids b ON e.tgt = b.key
 """.replace("{_EM}", _EDGE_MERGE_SQL)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): one
+    corpus-wide word-count exchange, then six merge rounds over the
+    capped vocabulary table; integer counts + lexicographic tie-breaks
+    make the whole training loop DuckDB-replayable."""
+    from islamic_ner_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(_read(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle_sql(n_merges: int = 6, vocab_cap: int = 512) -> str:
+    """Unrolled-CTE replay of the BPE training loop (pagerank style):
+    per round, b{i} = adjacent pairs, w{i} = argmax pair, m{i} = greedy
+    leftmost-non-overlapping match positions (run grouping +
+    alternate-keep), t{i} = the merged, renumbered symbol table."""
+    blocks = []
+    for i in range(1, n_merges + 1):
+        blocks.append(f"""
+    b{i} AS (
+        SELECT word, freq, pos, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM t{i - 1}
+    ),
+    w{i} AS (
+        SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM b{i} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    m{i} AS (
+        SELECT word, pos FROM (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+            FROM (
+                SELECT b.word, b.pos,
+                       b.pos - ROW_NUMBER() OVER (
+                           PARTITION BY b.word ORDER BY b.pos) AS grp
+                FROM b{i} b JOIN w{i} w ON b.sym = w.l AND b.nxt = w.r
+            )
+        ) WHERE rn % 2 = 1
+    ),
+    t{i} AS (
+        SELECT word, freq,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+        FROM (
+            SELECT b.word, b.freq, b.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN b.sym || b.nxt
+                        ELSE b.sym END AS sym
+            FROM b{i} b
+            LEFT JOIN m{i} k  ON b.word = k.word AND b.pos = k.pos
+            LEFT JOIN m{i} kd ON b.word = kd.word AND b.pos = kd.pos + 1
+            WHERE kd.pos IS NULL
+        )
+    )""")
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_freq FROM w{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_ISH}')) AS word
+              FROM documents)
+        GROUP BY word ORDER BY freq DESC, word LIMIT {vocab_cap}
+    ),
+    t0 AS (
+        SELECT word, freq,
+               unnest(range(1, len(regexp_extract_all(word, '.')) + 1)) AS pos,
+               unnest(regexp_extract_all(word, '.')) AS sym
+        FROM words
+    ),
+    {",".join(blocks)}
+    {finals}
+    """
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
