@@ -375,3 +375,46 @@ def random_walks(edges: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return walks.select("start", "walk", "walk_len")
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def skipgram_pairs(
+    edges: DataFrame, window: int = SKIPGRAM_WINDOW, n_steps: int = WALK_STEPS
+) -> DataFrame:
+    """(center, context, dist, n_pairs) skip-gram training pairs from
+    the deterministic walk corpus — the step that turns the KG into
+    word2vec-style embedding training data (DeepWalk/node2vec sample
+    generation), kept engine-exact so the oracle replays it.
+
+    Pairs are symmetric (both directions of every co-occurrence within
+    ``window`` walk positions) with ``dist`` the positive positional
+    distance, aggregated to counts across the whole walk corpus.
+
+    Scale shape: the walk corpus is node-sized (one row per start);
+    tokenizing it and self-joining on the walk id touches at most
+    ``nodes x (n_steps+1) x window`` rows — linear in the graph, never
+    quadratic; the final count is a partial-agg groupBy.
+    """
+    walks = random_walks(edges, n_steps)
+    toks = walks.select(
+        "start", F.posexplode(F.split("walk", "->")).alias("pos", "node")
+    )
+    a = toks.select("start", F.col("pos").alias("i"), F.col("node").alias("center"))
+    b = toks.select("start", F.col("pos").alias("j"), F.col("node").alias("context"))
+    fwd = (
+        a.join(b, "start")
+        .where((F.col("j") > F.col("i")) & (F.col("j") - F.col("i") <= window))
+        .select(
+            "center", "context", (F.col("j") - F.col("i")).cast("int").alias("dist")
+        )
+    )
+    sym = fwd.union(
+        fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context"), "dist"
+        )
+    )
+    return sym.groupBy("center", "context", "dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

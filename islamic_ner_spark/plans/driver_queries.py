@@ -2711,3 +2711,47 @@ def _bpe_oracle_sql(n_merges: int = 6, vocab_cap: int = 512) -> str:
 
 QUERIES["bpe_merges"] = q_bpe_merges
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
+
+
+def q_kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus —
+    the KG-to-embedding-training-data step (operators/graph_analytics
+    .skipgram_pairs); the oracle re-runs the walk replay and the same
+    windowed self-join."""
+    from islamic_ner_spark.operators.graph_analytics import skipgram_pairs
+
+    return skipgram_pairs(_staged_edges(spark, sf_dir))
+
+
+def _skipgram_oracle_sql() -> str:
+    from islamic_ner_spark.operators.graph_analytics import (
+        SKIPGRAM_WINDOW,
+        WALK_STEPS,
+    )
+
+    return f"""
+    WITH wk AS MATERIALIZED ( {_walks_oracle_sql(WALK_STEPS)} ),
+    tok AS (
+        SELECT start,
+               unnest(range(1, len(string_split(walk, '->')) + 1)) AS pos,
+               unnest(string_split(walk, '->')) AS node
+        FROM wk
+    ),
+    fwd AS (
+        SELECT a.node AS center, b.node AS context,
+               CAST(b.pos - a.pos AS INTEGER) AS dist
+        FROM tok a JOIN tok b ON a.start = b.start
+         AND b.pos > a.pos AND b.pos - a.pos <= {SKIPGRAM_WINDOW}
+    ),
+    sym AS (
+        SELECT center, context, dist FROM fwd
+        UNION ALL
+        SELECT context AS center, center AS context, dist FROM fwd
+    )
+    SELECT center, context, dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM sym GROUP BY center, context, dist
+    """
+
+
+QUERIES["kg_skipgram_pairs"] = q_kg_skipgram_pairs
+ORACLE_SQL["kg_skipgram_pairs"] = _skipgram_oracle_sql()

@@ -294,3 +294,44 @@ def test_random_walks_dead_end(spark) -> None:
         for r in random_walks(_edges(spark, [("a", "b")])).collect()
     }
     assert got == {"a": ("a->b", 2), "b": ("b", 1)}
+
+
+def _python_skipgram(pairs, window=2, n_steps=4):
+    from collections import Counter
+
+    counts = Counter()
+    for walk, _ in _python_walks(pairs, n_steps).values():
+        seq = walk.split("->")
+        for i, center in enumerate(seq):
+            for j in range(i + 1, min(i + window + 1, len(seq))):
+                counts[(center, seq[j], j - i)] += 1
+                counts[(seq[j], center, j - i)] += 1
+    return counts
+
+
+def test_skipgram_pairs_match_python_replay(spark) -> None:
+    from islamic_ner_spark.operators.graph_analytics import skipgram_pairs
+
+    rng = random.Random(7)
+    names = [f"n{i}" for i in range(10)]
+    pairs = [(s, t) for s, t in {(rng.choice(names), rng.choice(names))
+                                 for _ in range(25)} if s != t]
+    got = {
+        (r["center"], r["context"], r["dist"]): r["n_pairs"]
+        for r in skipgram_pairs(_edges(spark, pairs)).collect()
+    }
+    assert got == dict(_python_skipgram(pairs))
+
+
+def test_skipgram_pairs_symmetric_and_windowed(spark) -> None:
+    from islamic_ner_spark.operators.graph_analytics import skipgram_pairs
+
+    # chain a->b->c->d: walk from 'a' is the full chain; every pair is
+    # mirrored and no dist exceeds the window
+    rows = skipgram_pairs(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]), window=2
+    ).collect()
+    as_map = {(r["center"], r["context"], r["dist"]): r["n_pairs"] for r in rows}
+    for (c, x, d), n in as_map.items():
+        assert as_map[(x, c, d)] == n
+        assert 1 <= d <= 2
