@@ -2755,3 +2755,118 @@ def _skipgram_oracle_sql() -> str:
 
 QUERIES["kg_skipgram_pairs"] = q_kg_skipgram_pairs
 ORACLE_SQL["kg_skipgram_pairs"] = _skipgram_oracle_sql()
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document: TF-IDF with the integer-
+    exact rarity weight score = tf * 1000 * N // df (integer division;
+    a log-free IDF proxy both engines compute bit-identically).
+
+    Scale shape: tf is a doc-keyed partial agg; df is vocabulary-sized
+    and broadcast onto tf; N is one scalar; the top-5 window partitions
+    by doc_id (never global)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0))).alias(
+            "word"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.expr("(tf * 1000 * n_docs) div df").cast("long").alias("score_x1000"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_x1000"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+ORACLE_SQL["doc_keywords"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_ISH}')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf,
+               CAST((tf.tf * 1000 * n.n_docs) // df.df AS BIGINT) AS score_x1000
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, score_x1000, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score_x1000 DESC, word ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+QUERIES["doc_keywords"] = q_doc_keywords
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/snapshot.py) of a deterministic v2
+    corpus against the documents table: by the first md5(doc_id) hex
+    digit, '0'-docs are deleted in v2, '1'-docs have revised text, and
+    '2'-docs also appear as brand-new '::v2' clones — every status
+    class is exercised and both engines synthesize v2 identically."""
+    from islamic_ner_spark.operators.snapshot import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    bucket = F.substring(F.md5("doc_id"), 1, 1)
+    v2 = (
+        docs.where(bucket != "0")
+        .select(
+            "doc_id",
+            F.when(bucket == "1", F.concat("text", F.lit(" [rev]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(bucket == "2").select(
+                F.concat("doc_id", F.lit("::v2")).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, v2)
+
+
+ORACLE_SQL["corpus_diff"] = """
+    WITH sdocs AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(doc_id), 1, 1) = '1'
+                    THEN text || ' [rev]' ELSE text END AS text
+        FROM sdocs WHERE substr(md5(doc_id), 1, 1) <> '0'
+        UNION ALL
+        SELECT doc_id || '::v2' AS doc_id, text
+        FROM sdocs WHERE substr(md5(doc_id), 1, 1) = '2'
+    ),
+    o AS (SELECT doc_id AS k, md5(text) AS old_fp FROM sdocs),
+    n AS (SELECT doc_id AS k, md5(text) AS new_fp FROM v2)
+    SELECT COALESCE(o.k, n.k) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'deleted'
+                WHEN o.old_fp <> n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.k = n.k
+"""
+QUERIES["corpus_diff"] = q_corpus_diff

@@ -96,3 +96,37 @@ def test_label_centroids_hand_vectors(spark, monkeypatch) -> None:
         (9, 0): 10_000_000,
         (9, 1): 250_000,
     }
+
+
+def test_snapshot_diff_statuses(spark) -> None:
+    from islamic_ner_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z")], "doc_id STRING, text STRING"
+    )
+    new = spark.createDataFrame(
+        [("a", "x"), ("b", "y2"), ("d", "w")], "doc_id STRING, text STRING"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "unchanged", "b": "changed", "c": "deleted", "d": "added"}
+
+
+def test_doc_keywords_integer_idf(spark) -> None:
+    import os
+
+    from islamic_ner_spark.plans.driver_queries import q_doc_keywords
+
+    # 'rare' appears only in d0 -> df=1, N=2: score = 1*1000*2//1 = 2000
+    # 'common' is in both docs -> df=2: score = tf*1000*2//2 = tf*1000
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, "rare common"), (1, "common common")],
+            "doc_id LONG, text STRING",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = q_doc_keywords(spark, d).collect()
+    by = {(r.doc_id, r.word): (r.score_x1000, r.rank) for r in rows}
+    assert by[(0, "rare")] == (2000, 1)
+    assert by[(0, "common")] == (1000, 2)
+    assert by[(1, "common")] == (2000, 1)
