@@ -418,3 +418,77 @@ def skipgram_pairs(
     return sym.groupBy("center", "context", "dist").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+MODULARITY_SCALE = 1_000_000_000
+_DEG_FRAC_SCALE = 10_000  # sqrt(1e9/10): squared x10 lands on the 1e9 scale
+
+
+def community_modularity(
+    edges: DataFrame, n_iters: int = LPA_ITERS
+) -> DataFrame:
+    """Newman modularity of the LPA communities, in engine-exact fixed
+    point: per community c,
+
+        contrib_x1e9 = (e_c * 1e9) div m
+                       - ((d_c * 1e4) div (2m))^2 * 10
+
+    where m = undirected edge count, e_c = intra-community edges, d_c =
+    degree sum — the integer-division rendering of e_c/m - (d_c/2m)^2.
+    Sum of contrib_x1e9 over communities is the modularity Q x 1e9 (up
+    to the documented 1e-4 fixed-point granularity of the degree
+    fraction; both engines floor identically, so the oracle hash is
+    exact).  Overflow bounds: e_c*1e9 fits int64 while m < 9e9 edges;
+    the degree fraction is <= 1e4 so its squared term is <= 1e9.
+
+    Scale shape: one labels⋈degree node-sized join, one endpoints⋈labels
+    equi-join over the edge list (never node x node), partial-agg
+    counts, and a broadcast 1-row m.
+    """
+    labels = label_propagation(edges, n_iters)
+    sd = scholar_digraph(edges)
+    und = sd.select(
+        F.least("src", "tgt").alias("u"), F.greatest("src", "tgt").alias("v")
+    ).distinct()
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    intra = (
+        und.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_intra_raw"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_sum"),
+        )
+    )
+    return (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .withColumn("e_intra", F.coalesce("e_intra_raw", F.lit(0)).cast("long"))
+        .select(
+            "community",
+            "n_nodes",
+            "e_intra",
+            "d_sum",
+            F.expr(
+                "(e_intra * 1000000000) div m"
+                " - ((d_sum * 10000) div (2 * m))"
+                " * ((d_sum * 10000) div (2 * m)) * 10"
+            )
+            .cast("long")
+            .alias("contrib_x1e9"),
+        )
+    )

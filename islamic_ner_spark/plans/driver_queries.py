@@ -2870,3 +2870,65 @@ ORACLE_SQL["corpus_diff"] = """
     FROM o FULL OUTER JOIN n ON o.k = n.k
 """
 QUERIES["corpus_diff"] = q_corpus_diff
+
+
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Newman modularity of the LPA communities
+    (operators/graph_analytics.community_modularity); the oracle
+    replays LPA as unrolled CTEs and applies the identical integer
+    formula."""
+    from islamic_ner_spark.operators.graph_analytics import community_modularity
+
+    return community_modularity(_staged_edges(spark, sf_dir))
+
+
+def _modularity_oracle_sql() -> str:
+    from islamic_ner_spark.operators.graph_analytics import LPA_ITERS
+
+    return f"""
+    WITH lab AS MATERIALIZED ( {_lpa_oracle_sql(LPA_ITERS)} ),
+    edges_all AS ({_EDGE_MERGE_SQL}),
+    sd AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, tgt) AS u, GREATEST(src, tgt) AS v
+        FROM sd
+    ),
+    mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    intra AS (
+        SELECT lu.community, CAST(COUNT(*) AS BIGINT) AS e_intra_raw
+        FROM und
+        JOIN lab lu ON und.u = lu.node
+        JOIN lab lv ON und.v = lv.node
+        WHERE lu.community = lv.community
+        GROUP BY lu.community
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node
+    ),
+    comm AS (
+        SELECT lab.community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg.deg) AS BIGINT) AS d_sum
+        FROM lab JOIN deg ON lab.node = deg.node
+        GROUP BY lab.community
+    )
+    SELECT c.community, c.n_nodes,
+           CAST(COALESCE(i.e_intra_raw, 0) AS BIGINT) AS e_intra,
+           c.d_sum,
+           CAST((COALESCE(i.e_intra_raw, 0) * 1000000000) // mt.m
+                - ((c.d_sum * 10000) // (2 * mt.m))
+                  * ((c.d_sum * 10000) // (2 * mt.m)) * 10
+            AS BIGINT) AS contrib_x1e9
+    FROM comm c LEFT JOIN intra i ON c.community = i.community
+    CROSS JOIN mt
+    """
+
+
+QUERIES["kg_modularity"] = q_kg_modularity
+ORACLE_SQL["kg_modularity"] = _modularity_oracle_sql()

@@ -253,6 +253,33 @@ def main() -> int:
         "N x dim exploded rows combine before the (label, pos) exchange",
     )
 
+    from islamic_ner_spark.operators.bpe import word_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(word_frequencies(docs))
+    check(
+        "bpe: one combined corpus exchange, TakeOrdered cap",
+        plan.count("HashAggregate") >= 2 and "TakeOrderedAndProject" in plan,
+        "word counts combine map-side before the shuffle; the vocab cap "
+        "is a TakeOrderedAndProject, never a global sort",
+    )
+
+    plan = plan_of(dq.QUERIES["doc_keywords"](spark, sf_dir))
+    check(
+        "doc_keywords: vocabulary-sized df broadcast",
+        "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan,
+        "the document-frequency dimension broadcasts onto tf; no "
+        "corpus-wide sort-merge join",
+    )
+
+    plan = plan_of(dq.QUERIES["kg_skipgram_pairs"](spark, sf_dir))
+    check(
+        "skipgram: windowed equi-join on the walk id",
+        "CartesianProduct" not in plan,
+        "context pairing joins on the walk id with a range predicate — "
+        "never a cartesian product",
+    )
+
     # -- bucketed publish layer: co-located node/edge join ---------------
     import tempfile
 

@@ -335,3 +335,38 @@ def test_skipgram_pairs_symmetric_and_windowed(spark) -> None:
     for (c, x, d), n in as_map.items():
         assert as_map[(x, c, d)] == n
         assert 1 <= d <= 2
+
+
+def test_community_modularity_two_triangles(spark) -> None:
+    from islamic_ner_spark.operators.graph_analytics import community_modularity
+
+    # two triangles bridged by one edge: LPA settles each triangle into
+    # one community; m=7 undirected edges, per triangle e_c=3 and the
+    # bridge endpoints carry degree 3 -> d_c = 2+2+3 = 7... computed
+    # below by pure-Python replay of the exact integer formula
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")]
+    rows = community_modularity(_edges(spark, pairs)).collect()
+    got = {r.community: (r.n_nodes, r.e_intra, r.d_sum, r.contrib_x1e9) for r in rows}
+
+    # pure-Python replay on the LPA labels the operator itself reports
+    # (LPA labels are covered by their own oracle); formula must match
+    und = sorted({tuple(sorted(p)) for p in pairs})
+    m = len(und)
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    from islamic_ner_spark.operators.graph_analytics import label_propagation
+
+    lab = {r.node: r.community for r in label_propagation(_edges(spark, pairs)).collect()}
+    exp = {}
+    for c in set(lab.values()):
+        members = [n for n, l in lab.items() if l == c]
+        e_c = sum(1 for u, v in und if lab[u] == c and lab[v] == c)
+        d_c = sum(deg[n] for n in members)
+        frac = (d_c * 10_000) // (2 * m)
+        exp[c] = (len(members), e_c, d_c, (e_c * 1_000_000_000) // m - frac * frac * 10)
+    assert got == exp
+    # structure sanity: every edge endpoint is labeled, total degree 2m
+    assert sum(v[2] for v in got.values()) == 2 * m
