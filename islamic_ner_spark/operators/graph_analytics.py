@@ -492,3 +492,123 @@ def community_modularity(
             .alias("contrib_x1e9"),
         )
     )
+
+
+def comention_lift(edges: DataFrame) -> DataFrame:
+    """Corpus-wide association lift for scholar co-mention pairs, in
+    x1000 fixed point — the PMI-family score a KG consumer ranks edge
+    candidates by (PMI = log(lift); lift keeps it integer-exact):
+
+        lift_x1000 = (n_comention * 1000 * n_hadith) div (n_a * n_b)
+
+    where n_hadith is the number of distinct source hadiths with any
+    scholar mention and n_a / n_b are the per-scholar hadith counts.
+    lift > 1000 means the pair co-occurs more often than independent
+    mention rates predict.  Integer multiplication and floor division
+    only, so the DuckDB oracle replays the score bit-for-bit (contrast
+    float log-PMI, which differs across engines in the last ulp).
+
+    Overflow bound: n_comention * 1000 * n_hadith <= 1000 * n_hadith^2
+    fits int64 while n_hadith < 3e6 per partition-independent corpus
+    slice; at larger corpora promote the expression to DECIMAL(38,0)
+    (one-line change, same semantics).
+
+    Scale shape: identical to :func:`comention_network` (pair join
+    keyed on source_hadith, bounded by max-isnad^2 per group; node-sized
+    per-scholar totals joined by key) plus one broadcast 1-row corpus
+    total — no new shuffle over the pair table beyond the keyed joins.
+
+    Returns (s_a, s_b, n_comention, lift_x1000), s_a < s_b.
+    """
+    m = (
+        edges.where(
+            (F.col("pred") == "NARRATED_FROM")
+            & (F.col("src_label") == "Scholar")
+            & (F.col("tgt_label") == "Scholar")
+            & F.col("source_hadith").isNotNull()
+        )
+        .select(
+            F.col("source_hadith").alias("h"),
+            F.explode(F.array("src_key", "tgt_key")).alias("s"),
+        )
+        .distinct()
+    )
+    total = m.agg(F.countDistinct("h").cast("long").alias("n_h"))
+    per_scholar = m.groupBy("s").agg(F.count(F.lit(1)).alias("nh"))
+    a = m.select("h", F.col("s").alias("s_a"))
+    b = m.select("h", F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("n_comention"))
+    )
+    na = per_scholar.select(F.col("s").alias("s_a"), F.col("nh").alias("n_a"))
+    nb = per_scholar.select(F.col("s").alias("s_b"), F.col("nh").alias("n_b"))
+    return (
+        pairs.join(na, "s_a")
+        .join(nb, "s_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "s_a",
+            "s_b",
+            F.col("n_comention").cast("long").alias("n_comention"),
+            F.expr("(n_comention * 1000 * n_h) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_x1000"),
+        )
+    )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected
+    scholar graph, in x1000 fixed point:
+
+        cc_x1000 = (2 * 1000 * n_tri) div (deg * (deg - 1))   (deg >= 2)
+                 = 0                                          (deg < 2)
+
+    n_tri is the number of triangles through the node, taken from the
+    same degree-ordered enumeration as :func:`triangles` (so the
+    quadratic wedge step stays O(sqrt(|E|)) per node even on skewed
+    degree distributions); deg is the undirected degree.  Integer
+    arithmetic only — the DuckDB oracle replays the triangle CTE chain
+    and the division exactly.
+
+    Scale shape: triangle enumeration as in :func:`triangles`; the
+    per-node triangle counts and the degree table are both node-sized
+    and merge on the node key — no corpus-sized shuffle beyond the
+    oriented wedge join already bounded by the orientation.
+
+    Returns (node, deg, n_tri, cc_x1000) for every node with >= 1 edge.
+    """
+    per_node_tri = (
+        triangles(edges)
+        .select(F.explode(F.array("s1", "s2", "s3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    se = scholar_digraph(edges)
+    und = se.select(
+        F.least("src", "tgt").alias("u"), F.greatest("src", "tgt").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.join(per_node_tri, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(coalesce(n_tri, 0) * 2000) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_x1000"),
+        )
+    )

@@ -2932,3 +2932,104 @@ def _modularity_oracle_sql() -> str:
 
 QUERIES["kg_modularity"] = q_kg_modularity
 ORACLE_SQL["kg_modularity"] = _modularity_oracle_sql()
+
+
+# --- co-mention lift + local clustering coefficient ---------------------
+
+
+def q_kg_comention_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide co-mention association lift (integer-exact PMI
+    surrogate; operators/graph_analytics.comention_lift)."""
+    from islamic_ner_spark.operators.graph_analytics import comention_lift
+
+    return comention_lift(_staged_edges(spark, sf_dir))
+
+
+QUERIES["kg_comention_lift"] = q_kg_comention_lift
+ORACLE_SQL["kg_comention_lift"] = f"""
+    WITH edges_all AS MATERIALIZED ({_EDGE_MERGE_SQL}),
+    m AS MATERIALIZED (
+        SELECT DISTINCT source_hadith AS h, s FROM (
+            SELECT source_hadith, src_key AS s FROM edges_all
+            WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+              AND tgt_label = 'Scholar' AND source_hadith IS NOT NULL
+            UNION ALL
+            SELECT source_hadith, tgt_key AS s FROM edges_all
+            WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+              AND tgt_label = 'Scholar' AND source_hadith IS NOT NULL
+        )
+    ),
+    total AS (SELECT COUNT(DISTINCT h) AS n_h FROM m),
+    per_scholar AS (SELECT s, COUNT(*) AS nh FROM m GROUP BY s),
+    pairs AS (
+        SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_comention
+        FROM m a JOIN m b ON a.h = b.h AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT p.s_a, p.s_b,
+           CAST(p.n_comention AS BIGINT) AS n_comention,
+           CAST((p.n_comention * 1000 * t.n_h) // (na.nh * nb.nh)
+                AS BIGINT) AS lift_x1000
+    FROM pairs p
+    JOIN per_scholar na ON p.s_a = na.s
+    JOIN per_scholar nb ON p.s_b = nb.s
+    CROSS JOIN total t
+"""
+
+
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient x1000 over the undirected
+    scholar graph (operators/graph_analytics.local_clustering); the
+    oracle replays the degree-ordered triangle CTE chain and the
+    integer division exactly."""
+    from islamic_ner_spark.operators.graph_analytics import local_clustering
+
+    return local_clustering(_staged_edges(spark, sf_dir))
+
+
+QUERIES["kg_clustering"] = q_kg_clustering
+ORACLE_SQL["kg_clustering"] = f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    se AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, tgt) AS u, GREATEST(src, tgt) AS v FROM se
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node
+    ),
+    oriented AS MATERIALIZED (
+        SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS b
+        FROM und e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM oriented e1 JOIN oriented e2 ON e1.b = e2.a
+        WHERE EXISTS (
+            SELECT 1 FROM oriented e3 WHERE e3.a = e1.a AND e3.b = e2.b
+        )
+    ),
+    tri_nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri
+    ),
+    pnt AS (SELECT node, COUNT(*) AS n_tri FROM tri_nodes GROUP BY node)
+    SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN d.deg >= 2
+                     THEN (COALESCE(p.n_tri, 0) * 2000)
+                          // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_x1000
+    FROM deg d LEFT JOIN pnt p ON d.node = p.node
+"""

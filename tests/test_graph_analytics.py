@@ -370,3 +370,82 @@ def test_community_modularity_two_triangles(spark) -> None:
     assert got == exp
     # structure sanity: every edge endpoint is labeled, total degree 2m
     assert sum(v[2] for v in got.values()) == 2 * m
+
+
+from itertools import combinations
+
+from islamic_ner_spark.operators.graph_analytics import (
+    comention_lift,
+    local_clustering,
+)
+
+
+def test_comention_lift_hand_edges(spark) -> None:
+    rows = [
+        # h1 names a, b, c; h2 names a, b; h3 names d, e  =>  n_h = 3
+        ("NARRATED_FROM", "Scholar", "a", "Scholar", "b", "h1"),
+        ("NARRATED_FROM", "Scholar", "b", "Scholar", "c", "h1"),
+        ("NARRATED_FROM", "Scholar", "a", "Scholar", "b", "h2"),
+        ("NARRATED_FROM", "Scholar", "d", "Scholar", "e", "h3"),
+        # noise: non-scholar predicate must not count
+        ("IN_BOOK", "Hadith", "h1", "Book", "k", "h1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pred string, src_label string, src_key string, "
+        "tgt_label string, tgt_key string, source_hadith string",
+    )
+    got = {
+        (r["s_a"], r["s_b"]): (r["n_comention"], r["lift_x1000"])
+        for r in comention_lift(df).collect()
+    }
+    # nh: a=2, b=2, c=1, d=1, e=1; lift = n_co*1000*3 // (nh_a*nh_b)
+    assert got == {
+        ("a", "b"): (2, 1500),
+        ("a", "c"): (1, 1500),
+        ("b", "c"): (1, 1500),
+        ("d", "e"): (1, 3000),
+    }
+
+
+def test_local_clustering_triangle_with_tail(spark) -> None:
+    # triangle a-b-c plus pendant c-d
+    df = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["cc_x1000"])
+        for r in local_clustering(df).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1000),
+        "b": (2, 1, 1000),
+        "c": (3, 1, 333),
+        "d": (1, 0, 0),
+    }
+
+
+def test_local_clustering_matches_python_replay(spark) -> None:
+    rng = random.Random(77)
+    nodes = [f"n{i}" for i in range(12)]
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in (
+                tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)
+            )
+        }
+    )
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = {}
+    for n, nbrs in adj.items():
+        deg = len(nbrs)
+        n_tri = sum(1 for x, y in combinations(sorted(nbrs), 2) if y in adj[x])
+        cc = (2000 * n_tri) // (deg * (deg - 1)) if deg >= 2 else 0
+        expected[n] = (deg, n_tri, cc)
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["cc_x1000"])
+        for r in local_clustering(_edges(spark, pairs)).collect()
+    }
+    assert got == expected
