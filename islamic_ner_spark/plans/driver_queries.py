@@ -3033,3 +3033,48 @@ ORACLE_SQL["kg_clustering"] = f"""
                      ELSE 0 END AS BIGINT) AS cc_x1000
     FROM deg d LEFT JOIN pnt p ON d.node = p.node
 """
+
+
+# --- inverted index (posting lists with skew-safe top-k) -----------------
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term posting lists over the documents corpus — document
+    frequency, corpus term frequency, top-5 docs by tf as doc_id:tf
+    strings (operators/index.inverted_index; salted two-phase top-k so
+    stopword-skewed terms never serialize through one task)."""
+    from islamic_ner_spark.operators.index import inverted_index
+
+    return inverted_index(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["inverted_index"] = q_inverted_index
+ORACLE_SQL["inverted_index"] = """
+    WITH words AS (
+        SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM words
+        WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY term
+    ),
+    ranked AS (
+        SELECT term, doc_id, tf,
+               row_number() OVER (
+                   PARTITION BY term ORDER BY tf DESC, doc_id ASC
+               ) AS r
+        FROM tf
+    ),
+    posting AS (
+        SELECT term,
+               string_agg(doc_id || ':' || tf, ',' ORDER BY r) AS top_docs
+        FROM ranked WHERE r <= 5 GROUP BY term
+    )
+    SELECT t.term, t.n_docs, t.total_tf, p.top_docs
+    FROM tot t JOIN posting p ON t.term = p.term
+"""
