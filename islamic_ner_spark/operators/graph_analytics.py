@@ -612,3 +612,147 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             .alias("cc_x1000"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    n_iters: int = PAGERANK_ITERS,
+    scale: int = PAGERANK_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-point personalized PageRank from the lexicographically
+    smallest scholar node — the "entities related to X" serving query
+    (random-walk-with-restart proximity to the seed), same integer
+    recurrence as :func:`pagerank_integer` but with all teleport mass
+    pinned on the seed:
+
+        rank_0(v)     = scale * [v == seed]
+        rank_{i+1}(v) = (15 * scale div 100) * [v == seed]
+                      + (85 * sum over in-edges (s,v) of
+                              rank_i(s) div out(s)) div 100
+
+    Integer division throughout, so the unrolled-CTE oracle replays
+    every iteration bit-for-bit; mass bounds are strictly tighter than
+    global PageRank (total mass <= scale + n_iters * base).
+
+    Scale shape: identical to the global variant — the edge⋈rank
+    equi-join and the tgt-keyed partial-agg sum per iteration, the
+    iteration-invariant edge/out-degree join localCheckpoint-ed once,
+    plus one broadcast 1-row seed.  Choosing a different seed (a query
+    parameter in a serving deployment) changes only the broadcast row.
+
+    Returns (node, ppr_x1e9) over all scholar nodes.
+    """
+    se = scholar_digraph(edges)
+    nodes = (
+        se.select(F.col("src").alias("node"))
+        .union(se.select(F.col("tgt").alias("node")))
+        .distinct()
+    )
+    seed = nodes.agg(F.min("node").alias("seed"))
+    out_deg = se.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_d = se.join(out_deg, "src")
+    if checkpoint:
+        edges_d = edges_d.localCheckpoint(eager=True)
+    base = (15 * scale) // 100
+    nodes_s = nodes.crossJoin(F.broadcast(seed))
+    is_seed = F.col("node") == F.col("seed")
+
+    ranks = nodes_s.select(
+        "node",
+        F.when(is_seed, F.lit(scale)).otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
+    for _ in range(n_iters):
+        contribs = (
+            edges_d.join(ranks, edges_d["src"] == ranks["node"])
+            .select(F.col("tgt"), F.expr("rank div d").alias("c"))
+            .groupBy("tgt")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes_s.join(
+            contribs, nodes_s["node"] == contribs["tgt"], "left"
+        ).select(
+            "node",
+            (
+                F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                + F.expr("(85 * coalesce(s, 0L)) div 100")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("ppr_x1e9"))
+
+
+NEG_SLOTS = 4
+
+
+def negative_samples(edges: DataFrame, k: int = NEG_SLOTS) -> DataFrame:
+    """Deterministic negative-sample table for skip-gram embedding
+    training: ``k`` hash-picked vocabulary nodes per scholar node — the
+    companion to :func:`skipgram_pairs` (word2vec-style training needs
+    (center, context, +) pairs AND (center, negative, -) draws; a
+    per-center negative table keeps the draw reproducible across
+    engines, partition layouts, and re-runs, and pairs join it by
+    center downstream).
+
+    Draw rule (engine-exact, no RNG): the vocabulary is indexed by
+    md5-order (``idx = row_number() over (order by md5(node)) - 1`` —
+    md5-order, not lexical, so adjacent slots land on unrelated nodes),
+    and slot ``j`` of center ``c`` draws
+
+        idx(c, j) = int(md5(c || '#' || j)[:15 hex], 16)  mod  V
+
+    i.e. a uniform deterministic draw over the vocabulary.  A draw may
+    collide with its own center (probability ~1/V, as in word2vec's
+    unigram-table draws); downstream training treats it like any other
+    false negative.
+
+    Scale shape: the ranked vocabulary is entity-vocabulary-sized (the
+    same row_number-over-vocabulary argument as the COO export — never
+    corpus-sized), V is a broadcast 1-row count, the slot explode is
+    k rows per node, and the draw resolves through ONE equi-join on
+    idx.  No ring/range join, no per-row Python.
+
+    Returns (center, slot, negative), k rows per scholar node.
+    """
+    se = scholar_digraph(edges)
+    nodes = (
+        se.select(F.col("src").alias("node"))
+        .union(se.select(F.col("tgt").alias("node")))
+        .distinct()
+    )
+    ring = nodes.select(
+        "node",
+        (
+            F.row_number().over(Window.orderBy(F.md5(F.col("node")))) - 1
+        ).alias("idx"),
+    )
+    v = nodes.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    queries = (
+        nodes.select(F.col("node").alias("center"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "center",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+            "v",
+        )
+        .select(
+            "center",
+            F.col("slot").cast("int").alias("slot"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", "center", "slot")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("v"),
+            ).alias("idx"),
+        )
+    )
+    return queries.join(ring, "idx").select(
+        "center", "slot", F.col("node").alias("negative")
+    )

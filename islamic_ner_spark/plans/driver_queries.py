@@ -3078,3 +3078,98 @@ ORACLE_SQL["inverted_index"] = """
     SELECT t.term, t.n_docs, t.total_tf, p.top_docs
     FROM tot t JOIN posting p ON t.term = p.term
 """
+
+
+# --- personalized PageRank (random-walk-with-restart proximity) ----------
+
+
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (x1e9 fixed point) from the smallest
+    scholar node (operators/graph_analytics.personalized_pagerank);
+    the oracle replays the seeded integer recurrence as unrolled CTEs."""
+    from islamic_ner_spark.operators.graph_analytics import personalized_pagerank
+
+    return personalized_pagerank(_staged_edges(spark, sf_dir))
+
+
+def _ppr_oracle_sql(n_iters: int = 5, scale: int = 1_000_000_000) -> str:
+    base = (15 * scale) // 100
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               CAST(CASE WHEN n.node = sd.s THEN {base} ELSE 0 END
+                    + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+        FROM pnodes n CROSS JOIN seed sd LEFT JOIN (
+            SELECT e.tgt AS node, CAST(SUM(r.rank // o.d) AS BIGINT) AS s
+            FROM se e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.tgt
+        ) s ON n.node = s.node
+    )""")
+    return f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    se AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    pnodes AS (SELECT src AS node FROM se UNION SELECT tgt AS node FROM se),
+    seed AS (SELECT MIN(node) AS s FROM pnodes),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src),
+    r0 AS (
+        SELECT n.node,
+               CAST(CASE WHEN n.node = sd.s THEN {scale} ELSE 0 END
+                    AS BIGINT) AS rank
+        FROM pnodes n CROSS JOIN seed sd
+    ),
+    {",".join(iters)}
+    SELECT node, rank AS ppr_x1e9 FROM r{n_iters}
+    """
+
+
+QUERIES["kg_ppr"] = q_kg_ppr
+ORACLE_SQL["kg_ppr"] = _ppr_oracle_sql()
+
+
+# --- deterministic negative sampling for embedding training --------------
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-drawn negative-sample table (4 slots per scholar node) for
+    skip-gram training (operators/graph_analytics.negative_samples);
+    the oracle replays the md5-indexed vocabulary draw exactly."""
+    from islamic_ner_spark.operators.graph_analytics import negative_samples
+
+    return negative_samples(_staged_edges(spark, sf_dir))
+
+
+QUERIES["kg_negative_samples"] = q_kg_negative_samples
+ORACLE_SQL["kg_negative_samples"] = f"""
+    WITH edges_all AS ({_EDGE_MERGE_SQL}),
+    se AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    pnodes AS (SELECT src AS node FROM se UNION SELECT tgt AS node FROM se),
+    ring AS (
+        SELECT node,
+               row_number() OVER (ORDER BY md5(node)) - 1 AS idx
+        FROM pnodes
+    ),
+    vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pnodes),
+    q AS (
+        SELECT p.node AS center,
+               CAST(s.slot AS INTEGER) AS slot,
+               CAST(('0x' || substr(md5(p.node || '#' || s.slot), 1, 15))
+                    AS BIGINT) % vc.v AS idx
+        FROM pnodes p
+        CROSS JOIN (SELECT UNNEST(range(0, 4)) AS slot) s
+        CROSS JOIN vc
+    )
+    SELECT q.center, q.slot, r.node AS negative
+    FROM q JOIN ring r ON q.idx = r.idx
+"""

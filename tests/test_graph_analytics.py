@@ -449,3 +449,107 @@ def test_local_clustering_matches_python_replay(spark) -> None:
         for r in local_clustering(_edges(spark, pairs)).collect()
     }
     assert got == expected
+
+
+from islamic_ner_spark.operators.graph_analytics import personalized_pagerank
+
+
+def _python_ppr(pairs, n_iters=5, scale=PAGERANK_SCALE):
+    se = sorted(set((s, t) for s, t in pairs if s != t))
+    nodes = sorted({s for s, _ in se} | {t for _, t in se})
+    seed = nodes[0]
+    out = {}
+    for s, _ in se:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: (scale if n == seed else 0) for n in nodes}
+    base = (15 * scale) // 100
+    for _ in range(n_iters):
+        sums = {n: 0 for n in nodes}
+        for s, t in se:
+            sums[t] += rank[s] // out[s]
+        rank = {
+            n: (base if n == seed else 0) + (85 * sums[n]) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def test_ppr_seed_only_mass(spark) -> None:
+    # a -> b -> c chain, seed = a: mass decays along the chain, nothing
+    # flows back to the seed beyond its own teleport term
+    got = {
+        r["node"]: r["ppr_x1e9"]
+        for r in personalized_pagerank(
+            _edges(spark, [("a", "b"), ("b", "c")])
+        ).collect()
+    }
+    assert got == _python_ppr([("a", "b"), ("b", "c")])
+    assert got["a"] == (15 * PAGERANK_SCALE) // 100
+    assert got["b"] > got["c"] > 0
+
+
+def test_ppr_matches_python_replay_random_graph(spark) -> None:
+    rng = random.Random(99)
+    nodes = [f"s{i}" for i in range(10)]
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+            )
+            if a != b
+        }
+    )
+    got = {
+        r["node"]: r["ppr_x1e9"]
+        for r in personalized_pagerank(_edges(spark, pairs)).collect()
+    }
+    assert got == _python_ppr(pairs)
+
+
+from islamic_ner_spark.operators.graph_analytics import negative_samples
+
+
+def _python_negatives(pairs, k=4):
+    se = sorted(set((s, t) for s, t in pairs if s != t))
+    nodes = sorted({s for s, _ in se} | {t for _, t in se})
+    ring = sorted(nodes, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+    v = len(ring)
+    out = {}
+    for c in nodes:
+        for j in range(k):
+            key = int(
+                hashlib.md5(f"{c}#{j}".encode()).hexdigest()[:15], 16
+            )
+            out[(c, j)] = ring[key % v]
+    return out
+
+
+def test_negative_samples_match_python_replay(spark) -> None:
+    rng = random.Random(123)
+    nodes = [f"s{i}" for i in range(15)]
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+            )
+            if a != b
+        }
+    )
+    got = {
+        (r["center"], r["slot"]): r["negative"]
+        for r in negative_samples(_edges(spark, pairs)).collect()
+    }
+    assert got == _python_negatives(pairs)
+
+
+def test_negative_samples_shape(spark) -> None:
+    df = negative_samples(_edges(spark, [("a", "b"), ("b", "c")]), k=3)
+    rows = df.collect()
+    # 3 nodes x 3 slots, every negative drawn from the vocabulary
+    assert len(rows) == 9
+    assert {r["negative"] for r in rows} <= {"a", "b", "c"}
+    assert {(r["center"], r["slot"]) for r in rows} == {
+        (c, j) for c in ("a", "b", "c") for j in range(3)
+    }
