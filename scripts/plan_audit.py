@@ -280,6 +280,56 @@ def main() -> int:
         "never a cartesian product",
     )
 
+    plan = plan_of(dq.QUERIES["inverted_index"](spark, sf_dir))
+    check(
+        "inverted_index: salted two-phase top-k",
+        plan.count("Window") >= 2
+        and plan.count("HashAggregate") >= 2
+        and "CartesianProduct" not in plan,
+        "posting pick ranks per (term, salt) then per term — two window "
+        "passes, so no df-sized partition; totals combine map-side",
+    )
+
+    plan = plan_of(dq.QUERIES["kg_comention_lift"](spark, sf_dir))
+    check(
+        "comention_lift: broadcast 1-row corpus total",
+        "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan,
+        "the n_hadith scalar broadcasts onto the hadith-keyed pair join; "
+        "no cartesian anywhere",
+    )
+
+    plan = plan_of(dq.QUERIES["kg_clustering"](spark, sf_dir))
+    check(
+        "local_clustering: semi-join triangle close, no cartesian",
+        "LeftSemi" in plan and "CartesianProduct" not in plan,
+        "per-node triangle counts come from the degree-ordered wedge "
+        "join closed by a semi-join; degree merge is node-keyed",
+    )
+
+    from islamic_ner_spark.operators.graph_analytics import (
+        negative_samples,
+        personalized_pagerank,
+    )
+
+    staged_edges = dq._staged_edges(spark, sf_dir)
+    plan = plan_of(personalized_pagerank(staged_edges, n_iters=1, checkpoint=False))
+    check(
+        "ppr: broadcast seed + keyed contribution agg",
+        "BroadcastNestedLoopJoin" in plan
+        and plan.count("HashAggregate") >= 2
+        and "CartesianProduct" not in plan,
+        "teleport seed is a broadcast 1-row aggregate; per-iteration "
+        "contributions combine map-side before the tgt exchange",
+    )
+
+    plan = plan_of(negative_samples(staged_edges))
+    check(
+        "negative_samples: broadcast V, equi-join draw",
+        "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan,
+        "vocabulary size broadcasts as one row; the draw resolves "
+        "through an idx equi-join, never a ring/range join",
+    )
+
     # -- bucketed publish layer: co-located node/edge join ---------------
     import tempfile
 
