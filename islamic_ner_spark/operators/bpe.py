@@ -167,3 +167,79 @@ def learn_bpe(
     return spark.createDataFrame(
         learned, "step INT, left_sym STRING, right_sym STRING, pair_freq BIGINT"
     )
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply learned merges (in learned order — the classic subword-nmt
+    application rule) to a distinct-word table; returns (word, n_sym),
+    the BPE token count per word.
+
+    ``words`` must be distinct on ``word``; the table is
+    vocabulary-sized, so the whole encode loop — one :func:`_merge_round`
+    per learned merge, each two window passes + two targeted equi-joins
+    — never touches corpus-sized data.
+    """
+    syms = initial_symbols(words.select("word", F.lit(1).alias("freq")))
+    syms = syms.localCheckpoint(eager=True)
+    for left, right in merges:
+        syms = _merge_round(_bigrams(syms), left, right).localCheckpoint(
+            eager=True
+        )
+    return syms.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n_sym"))
+
+
+def encode_corpus(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    vocab_cap: int = VOCAB_CAP,
+    pattern: str = PRETOKEN_RE,
+) -> DataFrame:
+    """Tokenize the corpus with a corpus-trained BPE: train
+    ``n_merges`` merges (capped vocabulary), apply them to EVERY
+    distinct corpus word, and report per-document token statistics —
+    the operational step a pretraining pipeline runs right after
+    tokenizer training, with the standard scale decomposition:
+
+    - tokenization work happens once per DISTINCT word (vocabulary-
+      sized symbol tables through the merge rounds), never once per
+      occurrence — the same distinct-strings discipline the linking
+      ladder uses;
+    - the corpus is touched exactly twice, both as narrow exchanges:
+      the training word-count and the (doc_id, word) explode that the
+      encoded lengths join back onto (word-keyed equi-join, partial-agg
+      sum per doc).
+
+    Returns (doc_id, n_words, n_tokens, tokens_per_word_x1000) for
+    every document with at least one pre-token; the ratio is integer
+    fixed-point so both engines floor identically.
+    """
+    merges_df = learn_bpe(docs, n_merges, vocab_cap, pattern)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    occurrences = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).alias(
+            "word"
+        ),
+    )
+    encoded = encode_words(occurrences.select("word").distinct(), merges)
+    return (
+        occurrences.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000) div n_words")
+            .cast("long")
+            .alias("tokens_per_word_x1000"),
+        )
+    )

@@ -3173,3 +3173,130 @@ ORACLE_SQL["kg_negative_samples"] = f"""
     SELECT q.center, q.slot, r.node AS negative
     FROM q JOIN ring r ON q.idx = r.idx
 """
+
+
+# --- BPE corpus encoding (apply the trained merges) ----------------------
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token statistics after applying the
+    corpus-trained merges (operators/bpe.encode_corpus); the oracle
+    replays training AND encoding as unrolled CTEs."""
+    from islamic_ner_spark.operators.bpe import encode_corpus
+
+    return encode_corpus(_read(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 6, vocab_cap: int = 512) -> str:
+    """Training replay (same CTE chain as the bpe_merges oracle) +
+    encode replay: each round applies that round's argmax pair w{i} to
+    the FULL distinct-word symbol table e{i-1} (training stays on the
+    capped vocabulary t{i-1}; encoding covers every corpus word —
+    mirroring encode_words over occurrences' distinct words)."""
+    blocks = []
+    for i in range(1, n_merges + 1):
+        blocks.append(f"""
+    b{i} AS MATERIALIZED (
+        SELECT word, freq, pos, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM t{i - 1}
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT sym AS l, nxt AS r
+        FROM b{i} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt ORDER BY SUM(freq) DESC, l, r LIMIT 1
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT word, pos FROM (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+            FROM (
+                SELECT b.word, b.pos,
+                       b.pos - ROW_NUMBER() OVER (
+                           PARTITION BY b.word ORDER BY b.pos) AS grp
+                FROM b{i} b JOIN w{i} w ON b.sym = w.l AND b.nxt = w.r
+            )
+        ) WHERE rn % 2 = 1
+    ),
+    t{i} AS MATERIALIZED (
+        SELECT word, freq,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+        FROM (
+            SELECT b.word, b.freq, b.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN b.sym || b.nxt
+                        ELSE b.sym END AS sym
+            FROM b{i} b
+            LEFT JOIN m{i} k  ON b.word = k.word AND b.pos = k.pos
+            LEFT JOIN m{i} kd ON b.word = kd.word AND b.pos = kd.pos + 1
+            WHERE kd.pos IS NULL
+        )
+    ),
+    eb{i} AS MATERIALIZED (
+        SELECT word, pos, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM e{i - 1}
+    ),
+    em{i} AS MATERIALIZED (
+        SELECT word, pos FROM (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+            FROM (
+                SELECT b.word, b.pos,
+                       b.pos - ROW_NUMBER() OVER (
+                           PARTITION BY b.word ORDER BY b.pos) AS grp
+                FROM eb{i} b JOIN w{i} w ON b.sym = w.l AND b.nxt = w.r
+            )
+        ) WHERE rn % 2 = 1
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT word,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+        FROM (
+            SELECT b.word, b.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN b.sym || b.nxt
+                        ELSE b.sym END AS sym
+            FROM eb{i} b
+            LEFT JOIN em{i} k  ON b.word = k.word AND b.pos = k.pos
+            LEFT JOIN em{i} kd ON b.word = kd.word AND b.pos = kd.pos + 1
+            WHERE kd.pos IS NULL
+        )
+    )""")
+    return f"""
+    WITH allwords AS MATERIALIZED (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_ISH}')) AS word
+        FROM documents
+    ),
+    words AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM allwords
+        GROUP BY word ORDER BY freq DESC, word LIMIT {vocab_cap}
+    ),
+    t0 AS MATERIALIZED (
+        SELECT word, freq,
+               unnest(range(1, len(regexp_extract_all(word, '.')) + 1)) AS pos,
+               unnest(regexp_extract_all(word, '.')) AS sym
+        FROM words
+    ),
+    e0 AS MATERIALIZED (
+        SELECT word,
+               unnest(range(1, len(regexp_extract_all(word, '.')) + 1)) AS pos,
+               unnest(regexp_extract_all(word, '.')) AS sym
+        FROM (SELECT DISTINCT word FROM allwords)
+    ),
+    {",".join(blocks)},
+    tokc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+        FROM e{n_merges} GROUP BY word
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.n_sym) AS BIGINT) AS n_tokens,
+           CAST((SUM(t.n_sym) * 1000) // COUNT(*) AS BIGINT)
+               AS tokens_per_word_x1000
+    FROM allwords a JOIN tokc t ON a.word = t.word
+    GROUP BY a.doc_id
+    """
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle_sql()

@@ -119,3 +119,67 @@ def test_early_stop_when_fully_merged(spark):
     # single repeated 2-char word: only one merge is learnable
     got = _learned(spark, ["ab ab ab"], 5)
     assert got == [(1, "a", "b", 3)]
+
+
+from islamic_ner_spark.operators.bpe import encode_corpus
+
+
+def py_bpe_encode(texts, n_merges, vocab_cap=512):
+    """Sequential replay of encode_corpus: train on the capped vocab,
+    apply merges in learned order to every distinct word, report
+    per-doc token stats."""
+    merges = [(a, b) for _, a, b, _ in py_bpe(texts, n_merges, vocab_cap)]
+
+    def enc_len(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    stats = {}
+    for i, t in enumerate(texts):
+        ws = re.findall(_ASCII_PRETOKEN, t)
+        if not ws:
+            continue
+        n_tokens = sum(enc_len(w) for w in ws)
+        stats[f"d{i}"] = (len(ws), n_tokens, (n_tokens * 1000) // len(ws))
+    return stats
+
+
+@pytest.mark.parametrize("n_partitions", [None, 7])
+def test_encode_corpus_matches_python_replay(spark, n_partitions) -> None:
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["tokens_per_word_x1000"])
+        for r in encode_corpus(
+            _docs(spark, CORPUS, n_partitions),
+            n_merges=4,
+            pattern=_ASCII_PRETOKEN,
+        ).collect()
+    }
+    assert got == py_bpe_encode(CORPUS, n_merges=4)
+
+
+def test_encode_corpus_covers_uncapped_words(spark) -> None:
+    # vocab_cap=2 trains on two words only, but encoding must still
+    # tokenize every corpus word (rare words outside the cap)
+    texts = ["aa aa aa bb bb zz", "zz qq"]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in encode_corpus(
+            _docs(spark, texts),
+            n_merges=2,
+            vocab_cap=2,
+            pattern=_ASCII_PRETOKEN,
+        ).collect()
+    }
+    # trained merges on {aa, bb}: (a,a) then (b,b) -> 'aa','bb' single
+    # tokens; 'zz'/'qq' stay two chars each
+    assert got == {"d0": (6, 3 + 2 + 2), "d1": (2, 4)}
