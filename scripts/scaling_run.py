@@ -496,7 +496,12 @@ in the gitignored `.stage/scaling_best.json` and resets when a session
 wipes `.stage/` (the headline pair is then re-seeded from this file's
 committed table); earlier epochs' distributions are recorded in this
 file's git history (round 3-4 epoch: 31 pairs, 7 guarded-clean, range
-0.413-1.094).
+0.413-1.094; main round-4 epoch, commit 07ca961: 12 guarded-clean
+pairs, range 0.433-0.913, comparable-CPU band 0.725-0.900).  Post-wipe
+re-seeded pairs whose legs ran into external load spikes carry the
+direct CPU-inflation signature (e.g. a wide leg at 3814 CPU-s vs the
+narrow leg's 2026 for identical output) and are excluded by the
+min-CPU rule, not by judgment calls.
 {epoch_note}
 
 The CPU-s column is container CPU burned during the leg (cgroup
