@@ -3300,3 +3300,81 @@ def _bpe_encode_oracle_sql(n_merges: int = 6, vocab_cap: int = 512) -> str:
 
 QUERIES["bpe_encode"] = q_bpe_encode
 ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle_sql()
+
+
+# --- interval join: concurrent sessions containing each error event ------
+
+
+def q_event_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event, the number of user sessions (30-min
+    inactivity gap, any user) whose [start, end] span contains the
+    error's timestamp — an interval-containment join executed as
+    bucketized equi-join + exact post-filter
+    (operators/interval.interval_join), never a nested loop."""
+    from islamic_ner_spark.operators.interval import interval_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lag_t = F.lag("t").over(w)
+    numbered = ev.withColumn(
+        "is_break",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy(
+        F.col("user_id").alias("s_user"), "session_no"
+    ).agg(
+        F.min("t").alias("s_start"),
+        F.max("t").alias("s_end"),
+    )
+    points = numbered.where(F.col("event_type") == "error").select(
+        "event_id", "t"
+    )
+    matches = interval_join(
+        points, sessions, point_ts="t", start_col="s_start", end_col="s_end"
+    )
+    return matches.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_open_sessions")
+    )
+
+
+QUERIES["event_session_overlap"] = q_event_session_overlap
+ORACLE_SQL["event_session_overlap"] = """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_id, user_id, event_type, t,
+               CASE WHEN t - lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_break
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    numbered AS (
+        SELECT event_id, user_id, event_type, t,
+               SUM(is_break) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    ),
+    sessions AS (
+        SELECT user_id AS s_user, session_no,
+               MIN(t) AS s_start, MAX(t) AS s_end
+        FROM numbered GROUP BY 1, 2
+    ),
+    pts AS (SELECT event_id, t FROM numbered WHERE event_type = 'error')
+    SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_open_sessions
+    FROM pts p
+    JOIN sessions s ON s.s_start <= p.t AND p.t <= s.s_end
+    GROUP BY p.event_id
+"""
