@@ -330,6 +330,17 @@ def main() -> int:
         "through an idx equi-join, never a ring/range join",
     )
 
+    plan = plan_of(dq.QUERIES["event_session_overlap"](spark, sf_dir))
+    check(
+        "interval_join: bucket equi-join, no nested loop",
+        "BroadcastNestedLoopJoin" not in plan
+        and "CartesianProduct" not in plan
+        and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+             or "BroadcastHashJoin" in plan),
+        "containment compiles to the bucket-id equi-join + post-filter, "
+        "never Spark's nested-loop rendering of the range predicate",
+    )
+
     # -- bucketed publish layer: co-located node/edge join ---------------
     import tempfile
 
