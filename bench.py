@@ -45,6 +45,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+# Version of the SPARK_GRAFT_KG_ONLY leg workload (what a scaling leg
+# times + burns CPU on).  Bump whenever the KG_ONLY-mode work changes —
+# scaling_run.py compares accumulated pairs by combined container CPU,
+# and that comparison is only meaningful between legs that ran the same
+# workload.  Rev 1 = kg_build + top_narrators + components (the workload
+# of the committed 0.900 headline pair; the round-4 pagerank/triangle
+# headliners are full-bench only).
+LEG_WORKLOAD_REV = 1
+
+
 def _container_cpu_ns() -> int | None:
     """Container-wide CPU accounting (covers the JVM + Python workers;
     per-process rusage cannot see the unwaited JVM).  v1 cpuacct first,
@@ -283,6 +293,7 @@ def main() -> None:
                 "best_of_sql": best_of,
                 "sf": sf_dir,
                 "cpus": cpus,
+                "leg_workload_rev": LEG_WORKLOAD_REV,
                 "turns": n_turns,
                 "triples": counts["triples"],
                 "edges": counts["edges"],

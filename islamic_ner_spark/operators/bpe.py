@@ -136,6 +136,7 @@ def learn_bpe(
     n_merges: int = N_MERGES,
     vocab_cap: int = VOCAB_CAP,
     pattern: str = PRETOKEN_RE,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns the learned merge table
     (step, left_sym, right_sym, pair_freq) ordered by step.
@@ -143,9 +144,15 @@ def learn_bpe(
     Stops early if the vocabulary runs out of bigrams (every word fully
     merged) — the oracle replay mirrors this by producing empty
     iteration rows past that point.
+
+    ``words`` optionally supplies a precomputed capped (word, freq)
+    table so a caller that already aggregated the corpus (e.g.
+    :func:`encode_corpus`) avoids a second corpus-wide pass.
     """
     spark = docs.sparkSession
-    syms = initial_symbols(word_frequencies(docs, vocab_cap, pattern))
+    if words is None:
+        words = word_frequencies(docs, vocab_cap, pattern)
+    syms = initial_symbols(words)
     syms = syms.localCheckpoint(eager=True)
     learned: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -207,15 +214,28 @@ def encode_corpus(
       occurrence — the same distinct-strings discipline the linking
       ladder uses;
     - the corpus is touched exactly twice, both as narrow exchanges:
-      the training word-count and the (doc_id, word) explode that the
-      encoded lengths join back onto (word-keyed equi-join, partial-agg
-      sum per doc).
+      ONE word-count aggregation whose vocabulary-sized result is
+      checkpointed and serves both the training cap and the encode
+      word set, and the (doc_id, word) explode that the encoded
+      lengths join back onto (word-keyed equi-join, partial-agg sum
+      per doc).
 
     Returns (doc_id, n_words, n_tokens, tokens_per_word_x1000) for
     every document with at least one pre-token; the ratio is integer
     fixed-point so both engines floor identically.
     """
-    merges_df = learn_bpe(docs, n_merges, vocab_cap, pattern)
+    wf_full = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(pattern), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    train_words = wf_full.orderBy(F.desc("freq"), F.asc("word")).limit(vocab_cap)
+    merges_df = learn_bpe(docs, n_merges, vocab_cap, pattern, words=train_words)
     merges = [
         (r["left_sym"], r["right_sym"])
         for r in merges_df.orderBy("step").collect()
@@ -226,7 +246,7 @@ def encode_corpus(
             "word"
         ),
     )
-    encoded = encode_words(occurrences.select("word").distinct(), merges)
+    encoded = encode_words(wf_full.select("word"), merges)
     return (
         occurrences.join(encoded, "word")
         .groupBy("doc_id")

@@ -131,6 +131,14 @@ def triangles(edges: DataFrame) -> DataFrame:
     Returns one row per triangle, keys sorted lexicographically
     (s1 < s2 < s3 as strings), exactly reproducible in SQL.
     """
+    und, deg = _und_deg(edges)
+    return _triangles_from(und, deg)
+
+
+def _und_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Distinct undirected scholar edges (u < v) and the per-node
+    degree table — shared by the triangle enumeration and the local
+    clustering coefficient so the edge scan + degree agg run once."""
     se = scholar_digraph(edges)
     und = (
         se.select(
@@ -142,6 +150,12 @@ def triangles(edges: DataFrame) -> DataFrame:
         und.select(F.col("v").alias("node"))
     )
     deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return und, deg
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration over a prepared (und, deg)
+    pair (see :func:`triangles` for semantics)."""
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     oriented = (
@@ -256,26 +270,12 @@ def kcore(
     )
 
 
-def comention_network(edges: DataFrame) -> DataFrame:
-    """Scholar co-mention network: pairs of scholars attached to the
-    same source hadith, with the overlap coefficient in x1000 fixed
-    point.
-
-    The narration edges (operators/graph.py schema) carry
-    ``source_hadith``; two scholars co-mentioned in a hadith are
-    related even when no direct NARRATED_FROM edge joins them — the
-    standard co-occurrence projection a KG consumer builds next.
-    ``affinity_x1000 = 1000 * |H(a) and H(b)| div min(|H(a)|, |H(b)|)``
-    — integer division only, so the DuckDB oracle replays it exactly.
-
-    Scale shape: the pair join is keyed on ``source_hadith`` and each
-    hadith names a handful of scholars (isnad length), so the
-    within-group quadratic step is bounded by max-isnad^2 per group —
-    never an all-pairs join; the per-scholar totals are broadcast-sized
-    relative to the pair table and joined by key.
-
-    Returns (s_a, s_b, n_comention, affinity_x1000), s_a < s_b.
-    """
+def _comention_pairs(edges: DataFrame):
+    """Shared co-mention machinery: the distinct (hadith, scholar)
+    mention table ``m``, the hadith-keyed pair counts, and the
+    per-scholar totals renamed for the pair join.  Both co-mention
+    scores (overlap coefficient and corpus lift) consume these — one
+    place to fix the mention filter."""
     m = (
         edges.where(
             (F.col("pred") == "NARRATED_FROM")
@@ -300,6 +300,30 @@ def comention_network(edges: DataFrame) -> DataFrame:
     )
     na = per_scholar.select(F.col("s").alias("s_a"), F.col("nh").alias("n_a"))
     nb = per_scholar.select(F.col("s").alias("s_b"), F.col("nh").alias("n_b"))
+    return m, pairs, na, nb
+
+
+def comention_network(edges: DataFrame) -> DataFrame:
+    """Scholar co-mention network: pairs of scholars attached to the
+    same source hadith, with the overlap coefficient in x1000 fixed
+    point.
+
+    The narration edges (operators/graph.py schema) carry
+    ``source_hadith``; two scholars co-mentioned in a hadith are
+    related even when no direct NARRATED_FROM edge joins them — the
+    standard co-occurrence projection a KG consumer builds next.
+    ``affinity_x1000 = 1000 * |H(a) and H(b)| div min(|H(a)|, |H(b)|)``
+    — integer division only, so the DuckDB oracle replays it exactly.
+
+    Scale shape: the pair join is keyed on ``source_hadith`` and each
+    hadith names a handful of scholars (isnad length), so the
+    within-group quadratic step is bounded by max-isnad^2 per group —
+    never an all-pairs join; the per-scholar totals are broadcast-sized
+    relative to the pair table and joined by key.
+
+    Returns (s_a, s_b, n_comention, affinity_x1000), s_a < s_b.
+    """
+    m, pairs, na, nb = _comention_pairs(edges)
     return (
         pairs.join(na, "s_a")
         .join(nb, "s_b")
@@ -520,31 +544,8 @@ def comention_lift(edges: DataFrame) -> DataFrame:
 
     Returns (s_a, s_b, n_comention, lift_x1000), s_a < s_b.
     """
-    m = (
-        edges.where(
-            (F.col("pred") == "NARRATED_FROM")
-            & (F.col("src_label") == "Scholar")
-            & (F.col("tgt_label") == "Scholar")
-            & F.col("source_hadith").isNotNull()
-        )
-        .select(
-            F.col("source_hadith").alias("h"),
-            F.explode(F.array("src_key", "tgt_key")).alias("s"),
-        )
-        .distinct()
-    )
+    m, pairs, na, nb = _comention_pairs(edges)
     total = m.agg(F.countDistinct("h").cast("long").alias("n_h"))
-    per_scholar = m.groupBy("s").agg(F.count(F.lit(1)).alias("nh"))
-    a = m.select("h", F.col("s").alias("s_a"))
-    b = m.select("h", F.col("s").alias("s_b"))
-    pairs = (
-        a.join(b, "h")
-        .where(F.col("s_a") < F.col("s_b"))
-        .groupBy("s_a", "s_b")
-        .agg(F.count(F.lit(1)).alias("n_comention"))
-    )
-    na = per_scholar.select(F.col("s").alias("s_a"), F.col("nh").alias("n_a"))
-    nb = per_scholar.select(F.col("s").alias("s_b"), F.col("nh").alias("n_b"))
     return (
         pairs.join(na, "s_a")
         .join(nb, "s_b")
@@ -581,21 +582,12 @@ def local_clustering(edges: DataFrame) -> DataFrame:
 
     Returns (node, deg, n_tri, cc_x1000) for every node with >= 1 edge.
     """
+    und, deg = _und_deg(edges)
     per_node_tri = (
-        triangles(edges)
+        _triangles_from(und, deg)
         .select(F.explode(F.array("s1", "s2", "s3")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
-    se = scholar_digraph(edges)
-    und = se.select(
-        F.least("src", "tgt").alias("u"), F.greatest("src", "tgt").alias("v")
-    ).distinct()
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
     )
     return (
         deg.join(per_node_tri, "node", "left")
@@ -717,6 +709,11 @@ def negative_samples(edges: DataFrame, k: int = NEG_SLOTS) -> DataFrame:
 
     Returns (center, slot, negative), k rows per scholar node.
     """
+    if k < 1:
+        # F.sequence(0, k-1) would produce a DESCENDING [0, -1] array
+        # for k=0 (Spark defaults the step to -1 when start > stop) and
+        # fabricate two bogus slots per node instead of zero
+        raise ValueError(f"negative_samples requires k >= 1, got {k}")
     se = scholar_digraph(edges)
     nodes = (
         se.select(F.col("src").alias("node"))

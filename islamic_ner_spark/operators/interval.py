@@ -41,16 +41,26 @@ def interval_join(
     (cast timestamps to long upstream for engine-exact semantics).
     Returns all point columns + all interval columns.
     """
+    clash = {"__bucket"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            "interval_join reserves the column name '__bucket'; rename it "
+            "on the input side"
+        )
     b_points = points.withColumn(
         "__bucket", F.floor(F.col(point_ts) / F.lit(width)).cast("long")
     )
+    # malformed intervals (end < start) contain no points by definition;
+    # guard them to an empty bucket array (explode drops the row) —
+    # otherwise F.sequence defaults to step -1 when start > stop and a
+    # single corrupt row replicates across the whole reversed span
+    lo = F.floor(F.col(start_col) / F.lit(width)).cast("long")
+    hi = F.floor(F.col(end_col) / F.lit(width)).cast("long")
     b_intervals = intervals.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / F.lit(width)).cast("long"),
-                F.floor(F.col(end_col) / F.lit(width)).cast("long"),
-            )
+            F.when(F.col(end_col) >= F.col(start_col), F.sequence(lo, hi))
+            .otherwise(F.array().cast("array<long>"))
         ),
     )
     return (

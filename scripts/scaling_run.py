@@ -22,6 +22,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+from bench import LEG_WORKLOAD_REV  # noqa: E402
 from islamic_ner_spark import hostguard  # noqa: E402
 
 
@@ -318,6 +319,11 @@ def main() -> None:
     # among them the min-combined-CPU rule picks the least host-inflated
     # window.  Unguarded/contaminated history is the fallback only.
     def pair_clean(pair: dict) -> bool:
+        # same-workload-rev is part of cleanliness: the min-combined-CPU
+        # selection is only meaningful between legs that timed the SAME
+        # KG_ONLY workload (bench.LEG_WORKLOAD_REV stamps it; legs from
+        # a different/heavier workload revision stay in the history but
+        # never compete on CPU)
         return bool(
             pair["small"].get("guarded")
             and pair["large"].get("guarded")
@@ -325,6 +331,8 @@ def main() -> None:
             and not pair["large"].get("contaminated")
             and not pair["small"].get("loud")
             and not pair["large"].get("loud")
+            and pair["small"].get("leg_workload_rev") == LEG_WORKLOAD_REV
+            and pair["large"].get("leg_workload_rev") == LEG_WORKLOAD_REV
         )
 
     guarded_pool = [p for p in pairs if pair_clean(p)]
@@ -480,7 +488,11 @@ estimate nothing).
 {guard_note}
 
 Across {len(pair_effs)} accumulated same-window pairs
-({len(guarded_pool)} guarded-clean) the measured efficiency ranged
+({len(guarded_pool)} guarded-clean, where clean also requires both legs
+to carry the current bench leg-workload revision — combined-CPU
+comparisons are only meaningful between legs that timed identical
+work, so legs from a different KG_ONLY workload stay in the history
+but never compete) the measured efficiency ranged
 {pair_effs[0] if pair_effs else 'n/a'}-{pair_effs[-1] if pair_effs else 'n/a'};
 among the {len(comparable_effs)} pairs whose combined CPU burn is within
 25% of the best pair's (CPU inflation is the direct, load-heuristic-free

@@ -553,3 +553,10 @@ def test_negative_samples_shape(spark) -> None:
     assert {(r["center"], r["slot"]) for r in rows} == {
         (c, j) for c in ("a", "b", "c") for j in range(3)
     }
+
+
+def test_negative_samples_rejects_k_zero(spark) -> None:
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        negative_samples(_edges(spark, [("a", "b")]), k=0)

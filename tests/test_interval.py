@@ -72,3 +72,28 @@ def test_interval_join_matches_naive_crossjoin(spark) -> None:
             .collect()
         }
         assert got == naive, f"width={width}"
+
+
+import pytest
+
+
+def test_interval_join_guards(spark) -> None:
+    points = spark.createDataFrame([(1, 100)], P_SCHEMA)
+    # end < start: malformed interval matches nothing (no reversed
+    # bucket-sequence blowup)
+    bad = spark.createDataFrame([("x", 5000, 100)], I_SCHEMA)
+    assert (
+        interval_join(
+            points, bad, point_ts="t", start_col="s", end_col="e"
+        ).count()
+        == 0
+    )
+    # reserved column name is rejected, not silently clobbered
+    with pytest.raises(ValueError, match="__bucket"):
+        interval_join(
+            points.withColumn("__bucket", F.lit(1)),
+            bad,
+            point_ts="t",
+            start_col="s",
+            end_col="e",
+        )
