@@ -489,3 +489,81 @@ def duplicated_passages(
             .alias("dup_frac_x1000"),
         )
     )
+
+
+def typo_pairs(docs: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Vocabulary typo clustering: every pair of distinct corpus words
+    within Levenshtein distance ``max_dist`` (currently 1 or 2) — the
+    step a corpus-cleaning pipeline runs before token normalization to
+    find OCR noise and misspellings.
+
+    Scale decomposition (SymSpell-style symmetric-delete blocking):
+    a naive formulation is an all-pairs levenshtein join, O(V^2) over
+    the vocabulary.  Instead each distinct word generates its deletion
+    neighborhood (all variants obtainable by deleting <= max_dist
+    characters: <= 1 + L + C(L,2) variants per word); two words within
+    edit distance k ALWAYS share such a variant (take any <= k-op
+    alignment and delete from each side the non-matched positions —
+    both collapse to the common matched subsequence), so blocking on
+    the variant string is recall-complete, and the exact
+    ``F.levenshtein`` (JVM-side, no Python) filter on the blocked
+    candidates removes false positives.  Everything is
+    vocabulary-sized: one corpus exchange for the distinct words, a
+    variant explode, a variant-keyed self-join, and the filter.
+
+    Correctness note: the driver oracle recomputes the GROUND TRUTH as
+    the naive all-pairs join in DuckDB, so the hash comparison is a
+    differential proof that the deletion blocking lost no pair (ASCII
+    vocabulary — DuckDB's levenshtein counts bytes, Spark's counts
+    characters; they coincide exactly on single-byte text).
+
+    Returns (w_a, w_b, dist) with w_a < w_b.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"typo_pairs supports max_dist 1 or 2, got {max_dist}")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .distinct()
+    )
+    del1 = (
+        "transform(sequence(1, length(word)), i -> "
+        "concat(substring(word, 1, i - 1), "
+        "substring(word, i + 1, length(word))))"
+    )
+    if max_dist == 1:
+        variants = f"array_distinct(concat(array(word), {del1}))"
+    else:
+        # delete positions i < j: w[1..i-1] + w[i+1..j-1] + w[j+1..];
+        # the (i, j) grid guards len >= 2 (sequence() would descend on
+        # an empty range otherwise)
+        del2 = (
+            "case when length(word) >= 2 then "
+            "flatten(transform(sequence(1, length(word) - 1), i -> "
+            "transform(sequence(i + 1, length(word)), j -> "
+            "concat(substring(word, 1, i - 1), "
+            "substring(word, i + 1, j - i - 1), "
+            "substring(word, j + 1, length(word)))))) "
+            "else array() end"
+        )
+        variants = (
+            f"array_distinct(concat(array(word), {del1}, {del2}))"
+        )
+    exploded = words.select(
+        "word", F.explode(F.expr(variants)).alias("v")
+    )
+    a = exploded.select(F.col("v"), F.col("word").alias("w_a"))
+    b = exploded.select(F.col("v"), F.col("word").alias("w_b"))
+    cand = (
+        a.join(b, "v")
+        .where(F.col("w_a") < F.col("w_b"))
+        .select("w_a", "w_b")
+        .distinct()
+    )
+    return cand.select(
+        "w_a",
+        "w_b",
+        F.levenshtein("w_a", "w_b").cast("long").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

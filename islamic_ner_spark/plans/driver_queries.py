@@ -3378,3 +3378,31 @@ ORACLE_SQL["event_session_overlap"] = """
     JOIN sessions s ON s.s_start <= p.t AND p.t <= s.s_end
     GROUP BY p.event_id
 """
+
+
+# --- vocabulary typo pairs (SymSpell blocking vs naive ground truth) ------
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary word pairs within Levenshtein distance 2
+    (operators/dedup.typo_pairs, symmetric-delete blocking); the oracle
+    recomputes the naive all-pairs ground truth, so the hash match is a
+    differential completeness proof of the blocking."""
+    from islamic_ner_spark.operators.dedup import typo_pairs
+
+    return typo_pairs(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["typo_pairs"] = q_typo_pairs
+ORACLE_SQL["typo_pairs"] = """
+    WITH w AS (
+        SELECT DISTINCT word FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+        ) WHERE length(word) > 0
+    )
+    SELECT a.word AS w_a, b.word AS w_b,
+           CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+    FROM w a JOIN w b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 2
+"""

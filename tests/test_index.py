@@ -69,3 +69,50 @@ def test_salted_topk_matches_global_window(spark) -> None:
             for r in inverted_index(docs, salt_buckets=buckets).collect()
         }
         assert got == expect, f"salt_buckets={buckets}"
+
+
+from itertools import combinations
+
+from islamic_ner_spark.operators.dedup import typo_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_typo_pairs_matches_naive(spark) -> None:
+    vocab = [
+        "join", "coin", "jon", "joins", "hash", "cash", "bash",
+        "scan", "span", "a", "at", "ate", "gate", "batch", "catch",
+        "merge", "purge", "xylophone",
+    ]
+    docs = spark.createDataFrame(
+        [(0, " ".join(vocab)), (1, "join hash a")], DOC_SCHEMA
+    )
+    for k in (1, 2):
+        got = {
+            (r["w_a"], r["w_b"]): r["dist"]
+            for r in typo_pairs(docs, max_dist=k).collect()
+        }
+        expect = {
+            (a, b): _lev(a, b)
+            for a, b in combinations(sorted(vocab), 2)
+            if _lev(a, b) <= k
+        }
+        assert got == expect, f"max_dist={k}"
+
+
+def test_typo_pairs_rejects_bad_dist(spark) -> None:
+    import pytest
+
+    docs = spark.createDataFrame([(0, "a b")], DOC_SCHEMA)
+    with pytest.raises(ValueError, match="1 or 2"):
+        typo_pairs(docs, max_dist=3)
