@@ -330,6 +330,16 @@ def main() -> int:
         "through an idx equi-join, never a ring/range join",
     )
 
+    plan = plan_of(dq.QUERIES["typo_pairs"](spark, sf_dir))
+    check(
+        "typo_pairs: variant-keyed blocking, no all-pairs",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan,
+        "edit-distance candidates meet in the deletion-variant "
+        "equi-join; the exact levenshtein runs as a post-filter, "
+        "never as a join condition",
+    )
+
     plan = plan_of(dq.QUERIES["event_session_overlap"](spark, sf_dir))
     check(
         "interval_join: bucket equi-join, no nested loop",
