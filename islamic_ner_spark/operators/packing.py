@@ -74,3 +74,62 @@ def pack_sequences(
     return with_counts.groupBy("group").applyInPandas(
         pack, schema="doc_id long, group int, pack_id long, n_tokens long"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_words: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split every document into fixed-size word windows with overlap —
+    the chunking step a RAG index or a long-context training pipeline
+    runs before embedding/packing.  Chunks start every
+    ``chunk_words - overlap`` words; the final chunk is the remainder
+    (>= 1 word, never empty, never duplicated when the document is
+    shorter than one chunk).
+
+    Everything is a narrow array-side projection (transform over the
+    word array — no explode-then-window, no shuffle at all until a
+    downstream consumer aggregates), so chunking is embarrassingly
+    parallel at any corpus size; the per-chunk md5 gives downstream
+    exact-dedup a ready key.
+
+    Returns (doc_id, chunk_idx, start_word, n_words, chunk_md5), one
+    row per chunk, documents with no words dropped.
+    """
+    if not (0 <= overlap < chunk_words):
+        raise ValueError(
+            f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}"
+        )
+    step = chunk_words - overlap
+    w = "split(trim(text), '\\\\s+')"
+    nw = f"size({w})"
+    # starts: 1, 1+step, 1+2*step, ... while start <= n_words and the
+    # previous chunk did not already reach the end (start == 1 OR the
+    # prior window ended before n_words)
+    starts = (
+        f"filter(transform(sequence(0, greatest(0, ({nw} - 1) div {step})),"
+        f" k -> k * {step} + 1),"
+        f" s -> s = 1 OR s + {overlap} <= {nw})"
+    )
+    chunks = (
+        f"transform({starts}, s -> struct("
+        f"s AS start_word,"
+        f"least({chunk_words}, {nw} - s + 1) AS n_words,"
+        f"md5(array_join(slice({w}, s, {chunk_words}), ' ')) AS chunk_md5))"
+    )
+    return (
+        docs.where(F.expr(nw) >= 1)
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(chunks)).alias("chunk_idx", "c"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.start_word").cast("long").alias("start_word"),
+            F.col("c.n_words").cast("long").alias("n_words"),
+            F.col("c.chunk_md5").alias("chunk_md5"),
+        )
+    )

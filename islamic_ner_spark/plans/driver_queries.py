@@ -3406,3 +3406,41 @@ ORACLE_SQL["typo_pairs"] = """
     FROM w a JOIN w b ON a.word < b.word
     WHERE levenshtein(a.word, b.word) <= 2
 """
+
+
+# --- RAG/training document chunking (overlapping word windows) -----------
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (100-word chunks, 20-word
+    overlap) — the pre-embedding split a RAG/training pipeline runs
+    (operators/packing.chunk_documents); pure array-side projection,
+    zero shuffles."""
+    from islamic_ner_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["doc_chunks"] = q_doc_chunks
+ORACLE_SQL["doc_chunks"] = """
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    starts AS (
+        SELECT doc_id, w,
+               unnest(range(0, (len(w) - 1) // 80 + 1)) * 80 + 1 AS s
+        FROM words
+    ),
+    st AS (
+        SELECT doc_id, w, s FROM starts
+        WHERE s = 1 OR s + 20 <= len(w)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS INTEGER) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_word,
+           CAST(least(100, len(w) - s + 1) AS BIGINT) AS n_words,
+           md5(array_to_string(w[s : s + 99], ' ')) AS chunk_md5
+    FROM st
+"""
