@@ -3444,3 +3444,46 @@ ORACLE_SQL["doc_chunks"] = """
            md5(array_to_string(w[s : s + 99], ' ')) AS chunk_md5
     FROM st
 """
+
+
+# --- hop-bounded harmonic centrality --------------------------------------
+
+
+def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded (<= 4) harmonic centrality over the undirected
+    scholar graph (operators/graph_analytics.harmonic_centrality);
+    the oracle replays the multi-origin BFS as a recursive CTE and the
+    1e6 div dist sum exactly."""
+    from islamic_ner_spark.operators.graph_analytics import harmonic_centrality
+
+    return harmonic_centrality(_staged_edges(spark, sf_dir))
+
+
+QUERIES["kg_harmonic"] = q_kg_harmonic
+ORACLE_SQL["kg_harmonic"] = f"""
+    WITH RECURSIVE edges_all AS ({_EDGE_MERGE_SQL}),
+    se AS (
+        SELECT DISTINCT src_key AS src, tgt_key AS tgt FROM edges_all
+        WHERE pred = 'NARRATED_FROM' AND src_label = 'Scholar'
+          AND tgt_label = 'Scholar' AND src_key <> tgt_key
+    ),
+    pnodes AS (SELECT src AS node FROM se UNION SELECT tgt AS node FROM se),
+    adj AS (
+        SELECT src AS node, tgt AS nbr FROM se
+        UNION
+        SELECT tgt AS node, src AS nbr FROM se
+    ),
+    bfs AS (
+        SELECT node AS origin, node AS nd, 0 AS dist FROM pnodes
+        UNION
+        SELECT b.origin, a.nbr AS nd, b.dist + 1 AS dist
+        FROM bfs b JOIN adj a ON b.nd = a.node
+        WHERE b.dist < 4
+    ),
+    d AS (SELECT origin, nd, MIN(dist) AS dist FROM bfs GROUP BY 1, 2)
+    SELECT origin AS node,
+           CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+           CAST(COALESCE(SUM(CASE WHEN dist > 0 THEN 1000000 // dist END), 0)
+                AS BIGINT) AS harmonic_x1e6
+    FROM d GROUP BY origin
+"""

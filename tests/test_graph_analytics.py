@@ -560,3 +560,62 @@ def test_negative_samples_rejects_k_zero(spark) -> None:
 
     with pytest.raises(ValueError, match="k >= 1"):
         negative_samples(_edges(spark, [("a", "b")]), k=0)
+
+
+from collections import deque
+
+from islamic_ner_spark.operators.graph_analytics import harmonic_centrality
+
+
+def _py_harmonic(pairs, max_hops=4, scale=1_000_000):
+    se = sorted(set((s, t) for s, t in pairs if s != t))
+    adj = {}
+    for s, t in se:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    out = {}
+    for origin in adj:
+        dist = {origin: 0}
+        q = deque([origin])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        reached = {v: d for v, d in dist.items() if d > 0}
+        out[origin] = (
+            len(reached),
+            sum(scale // d for d in reached.values()),
+        )
+    return out
+
+
+def test_harmonic_path_graph(spark) -> None:
+    # path a-b-c-d-e-f: from a, reaches b..e within 4 hops (f at dist 5
+    # is outside the bound)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic_x1e6"])
+        for r in harmonic_centrality(_edges(spark, pairs)).collect()
+    }
+    assert got == _py_harmonic(pairs)
+    assert got["a"] == (4, 1_000_000 + 500_000 + 333_333 + 250_000)
+
+
+def test_harmonic_matches_python_replay_random(spark) -> None:
+    rng = random.Random(55)
+    nodes = [f"h{i}" for i in range(14)]
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(20)
+        }
+    )
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic_x1e6"])
+        for r in harmonic_centrality(_edges(spark, pairs)).collect()
+    }
+    assert got == _py_harmonic(pairs)
