@@ -330,6 +330,17 @@ def main() -> int:
         "through an idx equi-join, never a ring/range join",
     )
 
+    from islamic_ner_spark.operators.graph_analytics import harmonic_centrality
+
+    plan = plan_of(harmonic_centrality(staged_edges, max_hops=1))
+    check(
+        "harmonic: frontier equi-joins only",
+        "CartesianProduct" not in plan
+        and plan.count("HashAggregate") >= 2,
+        "multi-origin BFS expands via adjacency equi-joins with "
+        "partial-agg min-dist dedup; no all-pairs step",
+    )
+
     plan = plan_of(dq.QUERIES["typo_pairs"](spark, sf_dir))
     check(
         "typo_pairs: variant-keyed blocking, no all-pairs",
