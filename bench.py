@@ -54,6 +54,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # headliners are full-bench only).
 LEG_WORKLOAD_REV = 1
 
+# Committed work-conservation reference for the contended-window
+# self-flag (round-4 verdict next #2): container CPU-s the kg_build
+# phase burns on this workload in a quiet window, from the committed
+# BENCH.md headline pair (local[16] leg: 1318.6 CPU-s total for
+# kg_build + top_narrators + components at 6M turns — kg_build
+# dominates).  cpu_s is parallelism-invariant (that is the point of
+# the column), so one number serves every cpus setting; it scales
+# linearly with turn count.  A measured kg_build cpu_s >50% above the
+# scaled reference means the window was contended (stalled-cycle
+# inflation — BENCH_r04 hit 4502 vs r03's 1868 for byte-identical
+# output) and the emitted JSON says so itself.
+KG_BUILD_REF_CPU_S = 1320.0
+KG_BUILD_REF_TURNS = 6_000_000
+CONTENTION_TOLERANCE = 1.5
+
 
 def _container_cpu_ns() -> int | None:
     """Container-wide CPU accounting (covers the JVM + Python workers;
@@ -174,6 +189,32 @@ def main() -> None:
     turns_per_conv = int(os.environ.get("SPARK_GRAFT_TURNS", "4"))
     best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "2"))
 
+    # Admission gate (round-4 verdict next #2): BENCH_r04 was measured at
+    # load1 10-36 and showed a phantom 2.6x regression.  Wait (bounded)
+    # for a window with no foreign Spark JVM and load1 at/below the
+    # threshold before the timed phases.  SPARK_GRAFT_ADMIT_WAIT=0
+    # disables; the default wait is short enough not to eat an unattended
+    # driver budget, and an expired wait still proceeds (the per-phase
+    # evidence columns ship regardless).
+    admit_wait = int(os.environ.get("SPARK_GRAFT_ADMIT_WAIT", "300"))
+    admit_load = float(
+        os.environ.get("SPARK_GRAFT_ADMIT_LOAD", str(max(4, cpus // 4)))
+    )
+
+    from islamic_ner_spark import hostguard
+
+    def admission(phase_group: str) -> None:
+        if admit_wait <= 0:
+            return
+        if not hostguard.wait_for_admission(
+            admit_load, max_wait_s=admit_wait, poll_s=10.0
+        ):
+            print(
+                f"[bench] {phase_group}: admission wait expired; "
+                "phases may be contended (see cpu_s/load1 columns)",
+                file=sys.stderr, flush=True,
+            )
+
     from pyspark.sql import functions as F
 
     from islamic_ner_spark.plans import driver_queries as dq
@@ -228,6 +269,7 @@ def main() -> None:
         counts["nodes"] = int(stats["nodes"]["n"])
         counts["result"] = result  # type: ignore[assignment]
 
+    admission("kg_build")
     clock.run("kg_build_e2e", kg_build)
     kg_seconds = clock.timings["kg_build_e2e"]
     n_turns = n_convs * turns_per_conv
@@ -260,8 +302,45 @@ def main() -> None:
 
     clock.run("kg_components", components)
 
+    # --- model-NER end-to-end (round-4 verdict next #5): the reference's
+    # flagship bottleneck (1.55 docs/s single-threaded on CPU,
+    # BASELINE.md) measured as distributed Arrow-batched throughput.
+    # Same chunked word-window/max-seq core as production, through the
+    # deterministic numpy encoder (no torch in this sandbox); text is
+    # tripled so most rows exceed one 120-word window and the chunk
+    # logic is actually in the hot path.  Replication via
+    # SPARK_GRAFT_MODEL_REPL scales the doc count (default 10x =>
+    # 50k docs at sf0.1).
+    model_docs = 0
+    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        from islamic_ner_spark.operators.model_ner import model_ner_labels
+
+        model_repl = int(os.environ.get("SPARK_GRAFT_MODEL_REPL", "10"))
+        model_docs = n_docs * model_repl
+        model_input = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .crossJoin(spark.range(model_repl).select(F.col("id").alias("rep")))
+            .select(
+                F.concat_ws("-", F.col("doc_id").cast("string"), "rep").alias(
+                    "conv_id"
+                ),
+                F.lit(0).cast("int").alias("turn_idx"),
+                F.concat_ws(" ", "text", "text", "text").alias("text"),
+            )
+            .repartition(cpus * 2)
+        )
+
+        def model_ner() -> None:
+            model_ner_labels(model_input, None, encoder="numpy").select(
+                F.sum(F.size("labels"))
+            ).collect()
+
+        admission("model_ner")
+        clock.run("model_ner_e2e", model_ner)
+
     # --- relational / text / similarity headliners ------------------------
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        admission("sql_headliners")
         for name in (
             "lineitem_pricing_summary",
             "orders_per_nation",
@@ -280,29 +359,66 @@ def main() -> None:
 
     shutil.rmtree(staging, ignore_errors=True)
     total = round(sum(clock.timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "kg-build e2e + headline query suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": clock.timings,
-                "cpu_s": clock.cpu_s,
-                "load1": clock.load1,
-                "foreign_jvm": clock.foreign_jvm,
-                "best_of_sql": best_of,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "leg_workload_rev": LEG_WORKLOAD_REV,
-                "turns": n_turns,
-                "triples": counts["triples"],
-                "edges": counts["edges"],
-                "nodes": counts["nodes"],
-                "turns_per_sec": round(n_turns / kg_seconds, 1),
-                "triples_per_sec": round(counts["triples"] / kg_seconds, 1),
-            }
+
+    # contended-window self-flag: cpu_s is the steal-immune
+    # work-conservation signal, so comparing the measured kg_build burn
+    # against the committed quiet-window reference (scaled by turn
+    # count) says directly whether this run's walls are trustworthy.
+    contended = None
+    kg_cpu = clock.cpu_s.get("kg_build_e2e")
+    ref_cpu = KG_BUILD_REF_CPU_S * (n_turns / KG_BUILD_REF_TURNS)
+    # linear cpu_s scaling only holds once per-run fixed costs (JVM
+    # startup ~50 CPU-s) are amortized; below ~1/10 of the reference
+    # workload the flag has no calibrated baseline and stays null
+    if kg_cpu is not None and n_turns >= KG_BUILD_REF_TURNS // 10:
+        contended = kg_cpu > CONTENTION_TOLERANCE * ref_cpu
+        if contended:
+            print(
+                f"[bench] CONTENDED WINDOW: kg_build_e2e burned {kg_cpu:.0f} "
+                f"CPU-s vs committed quiet-window reference {ref_cpu:.0f} "
+                f"(>{CONTENTION_TOLERANCE}x) — walls in this run are "
+                "inflated by host interference, compare cpu_s not wall",
+                file=sys.stderr, flush=True,
+            )
+
+    payload = {
+        "metric": "kg-build e2e + headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": clock.timings,
+        "cpu_s": clock.cpu_s,
+        "load1": clock.load1,
+        "foreign_jvm": clock.foreign_jvm,
+        "contended": contended,
+        "kg_build_ref_cpu_s": round(ref_cpu, 1),
+        "best_of_sql": best_of,
+        "sf": sf_dir,
+        "cpus": cpus,
+        # how many queries()/oracle_sql() entries exist, so a truncated
+        # correctness harness run is self-describing (round-4 verdict
+        # next #1: the r04 artifact silently attested 50 of 70)
+        "queries_total": len(dq.QUERIES),
+        "oracles_total": len(dq.ORACLE_SQL),
+        "turns": n_turns,
+        "triples": counts["triples"],
+        "edges": counts["edges"],
+        "nodes": counts["nodes"],
+        "turns_per_sec": round(n_turns / kg_seconds, 1),
+        "triples_per_sec": round(counts["triples"] / kg_seconds, 1),
+    }
+    if model_docs and "model_ner_e2e" in clock.timings:
+        payload["model_docs"] = model_docs
+        payload["model_docs_per_sec"] = round(
+            model_docs / clock.timings["model_ner_e2e"], 1
         )
-    )
+    if os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        # stamped ONLY on KG_ONLY legs: scaling_run compares accumulated
+        # pairs by combined container CPU, and that comparison is only
+        # meaningful between legs that timed the identical KG_ONLY
+        # workload — a full-bench result seeded into the history must
+        # never pass for CPU-comparable (ADVICE r4, bench.py:296)
+        payload["leg_workload_rev"] = LEG_WORKLOAD_REV
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -98,3 +98,40 @@ def load1() -> float | None:
         return float(Path("/proc/loadavg").read_text().split()[0])
     except OSError:
         return None
+
+
+def wait_for_admission(
+    load_threshold: float, max_wait_s: int = 900, poll_s: float = 20.0
+) -> bool:
+    """Block until the container has NO foreign Spark processes and (when
+    ``load_threshold`` > 0) the host 1-min loadavg — which IS
+    host-visible here — is at or below the threshold, or ``max_wait_s``
+    elapses.  External load oscillates between ~2 and ~15 with a period
+    of minutes, and a leg started into a spike or alongside a co-tenant
+    JVM is wasted work.  Returns True when admitted clean, False when
+    the wait expired (caller proceeds anyway — the per-phase cpu_s /
+    load1 / foreign_jvm evidence still ships).
+
+    Shared by scripts/scaling_run.py (scaling legs) and bench.py
+    (per-round driver runs — round-4 verdict: BENCH_r04 was taken at
+    load1 10-36 and showed a phantom 2.6x regression that only the
+    evidence columns could refute; waiting for a quiet window makes the
+    official artifact itself trustworthy)."""
+    import time
+
+    started = time.time()
+    while True:
+        foreign = foreign_spark_processes()
+        load_now = load1()
+        if not foreign and (
+            not load_threshold or load_now is None or load_now <= load_threshold
+        ):
+            return True
+        if time.time() - started >= max_wait_s:
+            print(
+                f"admission wait expired after {max_wait_s:.0f}s "
+                f"(foreign={bool(foreign)}, load1={load_now}); proceeding anyway",
+                flush=True,
+            )
+            return False
+        time.sleep(poll_s)

@@ -62,20 +62,29 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    timings: list[tuple[str, float, float]] = []
+    import time as _time
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = _time.time()
         sdf = fn(spark, sf_dir)
         spark_rows = sdf.collect()
+        t_spark = _time.time() - t0
         spark_cols = sdf.columns
         if name not in oracles:
+            timings.append((name, t_spark, 0.0))
             print(f"[rows-only] {name}: {len(spark_rows)} rows, cols={spark_cols}")
             if len(spark_rows) == 0:
                 failures.append((name, "0 rows"))
             continue
+        t0 = _time.time()
         rel = con.sql(oracles[name])
         duck_cols = rel.columns
         duck_rows = [dict(zip(duck_cols, r)) for r in rel.fetchall()]
+        t_duck = _time.time() - t0
+        timings.append((name, t_spark, t_duck))
         ok_cols = sorted(duck_cols) == sorted(spark_cols)
         ok_count = len(duck_rows) == len(spark_rows)
         ok_vals = multiset(
@@ -84,7 +93,8 @@ def main() -> int:
         status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
         print(
             f"[{status}] {name}: spark={len(spark_rows)} duck={len(duck_rows)} "
-            f"cols_match={ok_cols} values_match={ok_vals}"
+            f"cols_match={ok_cols} values_match={ok_vals} "
+            f"[spark {t_spark:.1f}s duck {t_duck:.1f}s]"
         )
         if status == "FAIL":
             failures.append((name, f"cols={ok_cols} count={ok_count} vals={ok_vals}"))
@@ -97,6 +107,15 @@ def main() -> int:
                 only_d = [k for k in dm if k not in sm][:3]
                 print("  only in spark:", only_s)
                 print("  only in duck:", only_d)
+
+    slow = sorted(timings, key=lambda t: -(t[1] + t[2]))[:12]
+    print(
+        "\ntotal spark %.1fs duck %.1fs; slowest:" % (
+            sum(t[1] for t in timings), sum(t[2] for t in timings)
+        )
+    )
+    for name, ts, td in slow:
+        print(f"  {name}: spark {ts:.1f}s duck {td:.1f}s")
 
     print("\nentry(spark) smoke:")
     flagship = entrymod.entry(spark)

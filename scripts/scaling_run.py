@@ -145,27 +145,10 @@ def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
 
 
 def wait_for_admission(load_threshold: float, max_wait_s: int = 900) -> None:
-    """Block until the container has NO foreign Spark processes and (when
-    ``load_threshold`` > 0) the host 1-min loadavg — which IS
-    host-visible here — is at or below the threshold, or ``max_wait_s``
-    elapses.  External load oscillates between ~2 and ~15 with a period
-    of minutes, and a leg started into a spike or alongside a co-tenant
-    JVM is wasted work."""
-    started = time.time()
-    while time.time() - started < max_wait_s:
-        foreign = hostguard.foreign_spark_processes()
-        load_now = hostguard.load1()
-        if not foreign and (
-            not load_threshold or load_now is None or load_now <= load_threshold
-        ):
-            return
-        time.sleep(20)
-    print(
-        f"admission wait expired after {max_wait_s}s "
-        f"(foreign={bool(hostguard.foreign_spark_processes())}, "
-        f"load1={hostguard.load1()}); proceeding anyway",
-        flush=True,
-    )
+    """Shared admission gate — see islamic_ner_spark.hostguard
+    (factored out round 5 so bench.py's per-round driver runs get the
+    same quiet-window guarantee as scaling legs)."""
+    hostguard.wait_for_admission(load_threshold, max_wait_s)
 
 
 def main() -> None:

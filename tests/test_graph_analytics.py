@@ -619,3 +619,122 @@ def test_harmonic_matches_python_replay_random(spark) -> None:
         for r in harmonic_centrality(_edges(spark, pairs)).collect()
     }
     assert got == _py_harmonic(pairs)
+
+
+def _python_ppr_seeded(pairs, seed, n_iters=5, scale=PAGERANK_SCALE):
+    se = sorted(set((s, t) for s, t in pairs if s != t))
+    nodes = sorted({s for s, _ in se} | {t for _, t in se})
+    out = {}
+    for s, _ in se:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: (scale if n == seed else 0) for n in nodes}
+    base = (15 * scale) // 100
+    for _ in range(n_iters):
+        sums = {n: 0 for n in nodes}
+        for s, t in se:
+            sums[t] += rank[s] // out[s]
+        rank = {
+            n: (base if n == seed else 0) + (85 * sums[n]) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def test_ppr_literal_seed_parameter(spark) -> None:
+    # round-4 verdict next #4: the seed is a serving parameter, not a
+    # hardcoded min(node) — pin it to the middle of the chain and
+    # replay
+    pairs = [("a", "b"), ("b", "c")]
+    got = {
+        r["node"]: r["ppr_x1e9"]
+        for r in personalized_pagerank(_edges(spark, pairs), seed="b").collect()
+    }
+    assert got == _python_ppr_seeded(pairs, "b")
+    assert got["b"] == (15 * PAGERANK_SCALE) // 100  # nothing flows into b
+    assert got["a"] == 0  # teleport mass sits on b, none reaches a
+
+
+def test_ppr_seed_agg_max(spark) -> None:
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = {
+        r["node"]: r["ppr_x1e9"]
+        for r in personalized_pagerank(
+            _edges(spark, pairs), seed_agg="max"
+        ).collect()
+    }
+    assert got == _python_ppr_seeded(pairs, "c")
+    assert got != _python_ppr_seeded(pairs, "a")
+
+
+def test_ppr_absent_seed_is_all_zero(spark) -> None:
+    got = {
+        r["node"]: r["ppr_x1e9"]
+        for r in personalized_pagerank(
+            _edges(spark, [("a", "b")]), seed="no-such-node"
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 0}
+
+
+def _md5_draw(text: str) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+
+def test_harmonic_origin_sample(spark) -> None:
+    # sampled origins = the md5-draw filter applied to the full result:
+    # per-origin scores identical, origin set cut deterministically
+    rng = random.Random(77)
+    nodes = [f"h{i}" for i in range(14)]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(20)}
+    )
+    full = _py_harmonic(pairs)
+    mod = 2
+    expected = {
+        n: v for n, v in full.items() if _md5_draw(n) % mod == 0
+    }
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic_x1e6"])
+        for r in harmonic_centrality(
+            _edges(spark, pairs), origin_mod=mod
+        ).collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < len(full)
+
+
+from islamic_ner_spark.operators.graph_analytics import dense_ids
+
+
+def test_dense_ids_matches_global_rank(spark) -> None:
+    # bucketed two-phase rank == row_number over the global sort, for
+    # keys that collide and diverge inside the 2-char prefix buckets
+    keys = sorted(
+        {f"s{i:03d}" for i in range(40)}
+        | {"a", "ab", "abc", "b", "ba", "z", "zz", "zzz"}
+    )
+    rng = random.Random(11)
+    shuffled = keys[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(k,) for k in shuffled], "key string"
+    ).repartition(7)
+    got = {
+        r["key"]: r["vid"] for r in dense_ids(df, key="key").collect()
+    }
+    assert got == {k: i for i, k in enumerate(keys)}
+
+
+def test_dense_ids_custom_order_expr(spark) -> None:
+    from pyspark.sql import functions as F
+
+    keys = [f"n{i}" for i in range(30)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {
+        r["key"]: r["vid"]
+        for r in dense_ids(
+            df, key="key", order_expr=F.md5(F.col("key"))
+        ).collect()
+    }
+    ordered = sorted(keys, key=lambda k: hashlib.md5(k.encode()).hexdigest())
+    assert got == {k: i for i, k in enumerate(ordered)}
