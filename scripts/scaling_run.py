@@ -263,7 +263,16 @@ def main() -> None:
             if best is None or run["queries"]["kg_build_e2e"] < best["queries"]["kg_build_e2e"]:
                 results[cpus] = run
         if len(attempt_runs) == 2:
-            pairs.append({"small": attempt_runs[n_small], "large": attempt_runs[n_large]})
+            # "fresh" marks pairs measured by THIS invocation (vs seeded
+            # history): a fresh winning pair may carry the headline even
+            # before a second comparable-CPU pair exists (ADVICE r4)
+            pairs.append(
+                {
+                    "small": attempt_runs[n_small],
+                    "large": attempt_runs[n_large],
+                    "fresh": True,
+                }
+            )
 
     # --- reported pair selection -----------------------------------------
     # The efficiency RATIO is only meaningful when both legs saw the same
@@ -350,6 +359,24 @@ def main() -> None:
         for p in comparable
     )
     headline_guarded = pair_clean(chosen)
+    # guarded-clean distribution, always reported alongside the headline
+    # (ADVICE r4: a min-CPU-selected single pair overstates confidence);
+    # the single headline number is "established" only when >= 2
+    # comparable-CPU pairs corroborate it OR the winning pair was
+    # freshly measured by this invocation — otherwise it is labeled
+    # provisional and the median/range carry the claim
+    import statistics
+
+    guarded_effs = sorted(
+        round(
+            (p["large"]["triples_per_sec"] / p["small"]["triples_per_sec"]) / 4.0, 3
+        )
+        for p in guarded_pool
+    )
+    guarded_median = (
+        round(statistics.median(guarded_effs), 3) if guarded_effs else None
+    )
+    headline_established = len(comparable) >= 2 or bool(chosen.get("fresh"))
     results = {n_small: chosen["small"], n_large: chosen["large"]}
 
     tp8 = results[n_small]["triples_per_sec"]
@@ -364,6 +391,12 @@ def main() -> None:
         "n_pairs": len(pairs),
         "n_guarded_clean_pairs": len(guarded_pool),
         "headline_pair_guarded": headline_guarded,
+        "headline_established": headline_established,
+        "n_comparable_pairs": len(comparable),
+        "guarded_clean_median": guarded_median,
+        "guarded_clean_range": (
+            [guarded_effs[0], guarded_effs[-1]] if guarded_effs else None
+        ),
     }
     probe_s = results[n_small].get("speed_probe_s")
     probe_l = results[n_large].get("speed_probe_s")
@@ -377,7 +410,11 @@ def main() -> None:
     (REPO / ".stage").mkdir(exist_ok=True)
     payload = {str(k): v for k, v in results.items()}
     payload["_workload"] = workload
-    payload["_pairs"] = pairs[-50:]
+    # strip the per-invocation "fresh" marker before persisting: it
+    # means "measured by THIS run" and must not survive into the seed
+    payload["_pairs"] = [
+        {k: v for k, v in p.items() if k != "fresh"} for p in pairs[-50:]
+    ]
     (REPO / ".stage" / "scaling_best.json").write_text(json.dumps(payload))
 
     cpu_small = results[n_small].get("cpu_total_s")
@@ -466,7 +503,20 @@ estimate nothing).
 | local[{n_small}]  (N)  | {results[n_small]['turns']:,} | {results[n_small]['queries']['kg_build_e2e']} | {results[n_small]['turns_per_sec']:,} | {results[n_small]['triples_per_sec']:,} | {results[n_small].get('cpu_total_s', 'n/a')} |
 | local[{n_large}] (4N) | {results[n_large]['turns']:,} | {results[n_large]['queries']['kg_build_e2e']} | {results[n_large]['turns_per_sec']:,} | {results[n_large]['triples_per_sec']:,} | {results[n_large].get('cpu_total_s', 'n/a')} |
 
-**Scaling efficiency (N -> 4N): {efficiency:.3f}** (gate: >= 0.8)
+**Scaling efficiency (N -> 4N): {efficiency:.3f}** (gate: >= 0.8{
+    '' if headline_established else
+    '; PROVISIONAL — only one comparable-CPU pair corroborates this '
+    'number and it was not re-measured by this invocation, so the '
+    'guarded-clean median below is the better point estimate'
+})
+
+Guarded-clean distribution (reported alongside the headline so a single
+min-CPU-selected pair never carries the claim alone): **median {
+    guarded_median if guarded_median is not None else 'n/a'
+}, range {guarded_effs[0] if guarded_effs else 'n/a'}-{
+    guarded_effs[-1] if guarded_effs else 'n/a'} over {
+    len(guarded_effs)} guarded-clean pairs**; {len(comparable)}
+pair(s) are CPU-comparable to the winner.
 
 {guard_note}
 
