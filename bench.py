@@ -203,12 +203,19 @@ def main() -> None:
 
     from islamic_ner_spark import hostguard
 
+    # ONE shared wait budget across all phase groups — an unattended
+    # driver run must never stack 3x the full wait
+    admit_budget = [float(admit_wait)]
+
     def admission(phase_group: str) -> None:
-        if admit_wait <= 0:
+        if admit_budget[0] <= 0:
             return
-        if not hostguard.wait_for_admission(
-            admit_load, max_wait_s=admit_wait, poll_s=10.0
-        ):
+        t0 = time.time()
+        ok = hostguard.wait_for_admission(
+            admit_load, max_wait_s=admit_budget[0], poll_s=10.0
+        )
+        admit_budget[0] -= time.time() - t0
+        if not ok:
             print(
                 f"[bench] {phase_group}: admission wait expired; "
                 "phases may be contended (see cpu_s/load1 columns)",
