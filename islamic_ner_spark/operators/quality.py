@@ -101,3 +101,77 @@ def repetition_stats(
         "top_bigram_count",
         repetitive.cast("int").alias("is_repetitive"),
     )
+
+
+def bigram_lm_surprise(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram-LM surprise per document — the integer-exact
+    stand-in for perplexity-based quality bucketing (CCNet-style: score
+    every document under a language model trained on the corpus itself,
+    then filter/bucket by mean surprise).
+
+    Each bigram (w1, w2) scores ``(c(w1) + V) div (c(w1 w2) + 1)`` — the
+    integer reciprocal of the add-one-smoothed conditional probability
+    p(w2 | w1) = (c12 + 1) / (c1 + V) — so a document's mean surprise is
+    a monotone proxy for its LM perplexity that both engines reproduce
+    bit-for-bit (no float log to drift on).  Gibberish documents (unseen
+    continuations after common words) score high; conventional text
+    scores low.
+
+    Plan shape at 100 TB: bigrams are built array-side (one explode, no
+    self-join).  Training is two keyed aggregations over the exploded
+    stream — bigram counts ``cb`` (map-side partial combine, then one
+    (w1, w2)-keyed exchange) and first-word counts ``cu`` derived from
+    ``cb`` (model-sized, not corpus-sized).  The model is assembled
+    model-side: ``cb ⋈ cu`` on w1 plus a 1-row crossJoin for V, so the
+    corpus stream pays exactly ONE scoring join, keyed on (w1, w2) —
+    finer than w1, so stopword skew is diluted across continuations;
+    AQE skew-join covers the residual head.  Nothing collects.
+    """
+    words_arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"), words_arr.alias("words")
+    )
+    bg = (
+        base.where(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(slice(words, 1, size(words) - 1),"
+                " (x, i) -> struct(x AS w1, words[i + 1] AS w2))"
+            ).alias("pairs"),
+        )
+        .select("doc_id", F.explode("pairs").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cu = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = cu.agg(F.count(F.lit(1)).alias("vsz"))
+    # model assembly is model-sized (distinct bigrams), never corpus-sized
+    model = cb.join(cu, "w1").crossJoin(F.broadcast(vocab))
+    scored = bg.join(model, ["w1", "w2"]).select(
+        "doc_id", F.expr("(c1 + vsz) div (c12 + 1)").alias("s")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("s").cast("long").alias("surprise_sum"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprise_sum", F.lit(0))
+            .cast("long")
+            .alias("surprise_sum"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr("(surprise_sum * 100) div n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("avg_surprise_x100"),
+        )
+    )

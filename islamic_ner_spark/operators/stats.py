@@ -311,3 +311,39 @@ def domain_mix_sample(
         in_mix.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= quota_map[F.col(domain_col)])
     )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Conversation-structure rollup over the transcript table
+    (conv_id, turn_idx, role, tool, ...): counts of consecutive
+    turn-state transitions, where a turn's state is its role refined
+    with the tool name for tool turns (``tool:search``).  The read-side
+    sanity report for agent-transcript corpora: a healthy corpus shows
+    user→assistant / assistant→tool:…→assistant structure; a scrambled
+    ingest shows impossible transitions (assistant→assistant floods,
+    tool turns with no caller).
+
+    Plan shape at 10^12 turns: ONE conv_id-keyed exchange feeds the lag
+    window (conversations are bounded — tens of turns — so window
+    partitions are tiny and skew-free), then a states²-sized aggregation
+    with map-side partial combine.  ``n_convs`` is an exact
+    COUNT(DISTINCT conv_id), which Spark expands into a two-phase
+    aggregate keyed by (transition, conv_id) — no single reducer sees
+    the corpus.  Nothing collects.
+    """
+    state = F.when(
+        F.col("role") == "tool",
+        F.concat(F.lit("tool:"), F.coalesce(F.col("tool"), F.lit("?"))),
+    ).otherwise(F.col("role"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = transcripts.select(
+        "conv_id", "turn_idx", state.alias("state")
+    ).withColumn("prev_state", F.lag("state").over(w))
+    return (
+        lagged.where(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )

@@ -3555,6 +3555,102 @@ ORACLE_SQL["kg_harmonic_sampled"] = f"""
 """
 
 
+# --- bigram-LM surprise (perplexity-proxy quality bucketing) ---------------
+
+
+def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one-smoothed bigram-LM surprise per document
+    (operators/quality.bigram_lm_surprise) — the integer-exact
+    CCNet-style perplexity bucketing signal.  The oracle retrains the
+    same model (bigram + first-word counts + vocab size) and rescoring
+    in DuckDB, so training AND inference are differentially tested."""
+    from islamic_ner_spark.operators.quality import bigram_lm_surprise
+
+    return bigram_lm_surprise(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["lm_surprise"] = q_lm_surprise
+ORACLE_SQL["lm_surprise"] = """
+    WITH words AS MATERIALIZED (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2
+        )
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+    cu AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM cu),
+    scored AS (
+        SELECT b.doc_id, ((u.c1 + v.vsz) // (c.c12 + 1)) AS s
+        FROM bg b
+        JOIN cb c ON b.w1 = c.w1 AND b.w2 = c.w2
+        JOIN cu u ON b.w1 = u.w1
+        CROSS JOIN v
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(s) AS BIGINT) AS surprise_sum
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.surprise_sum, 0) AS surprise_sum,
+           CAST(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                     THEN (p.surprise_sum * 100) // p.n_bigrams
+                     ELSE 0 END AS BIGINT) AS avg_surprise_x100
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+# --- conversation role-transition matrix -----------------------------------
+
+_CONV_TRANSCRIPTS = _staging.stage_glob("conv", "transcripts")
+
+
+def q_conv_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-state transition matrix over the flagship transcripts
+    (operators/stats.role_transitions): consecutive (prev_state, state)
+    counts where tool turns carry their tool name.  Exercises the
+    conversation-partitioned lag window + distinct-conversation rollup
+    over the exact input-hint shape (conv_id, turn_idx, role, tool)."""
+    from islamic_ner_spark.operators.stats import role_transitions
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_conv_stage(spark, sf_dir)
+    return role_transitions(
+        spark.read.parquet(staging.stage_path("conv", "transcripts"))
+    )
+
+
+QUERIES["conv_role_transitions"] = q_conv_role_transitions
+ORACLE_SQL["conv_role_transitions"] = f"""
+    WITH t AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN role = 'tool' THEN 'tool:' || COALESCE(tool, '?')
+                    ELSE role END AS state
+        FROM read_parquet('{_CONV_TRANSCRIPTS}')
+    ),
+    lagged AS (
+        SELECT conv_id, state,
+               LAG(state) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+               ) AS prev_state
+        FROM t
+    )
+    SELECT prev_state, state,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM lagged WHERE prev_state IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

@@ -118,6 +118,30 @@ def embeddings_with_perturbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(perturbed)
 
 
+def ensure_conv_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the raw flagship transcripts table itself (conv_id,
+    turn_idx, role, text, tool, ts) — the shared input for
+    conversation-structure queries whose relational tail (lag windows,
+    transition aggregation) both engines run over the same parquet.
+    The generator is deterministic Python, so the oracle cannot replay
+    it; staging the rows once makes every downstream comparison a
+    genuine differential test."""
+    if _is_current("conv", sf_dir):
+        return
+    _reset("conv")
+
+    from islamic_ner_spark.sources.transcripts import transcripts_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    _write(
+        transcripts_from_documents(
+            spark, docs, turns_per_conv=FLAGSHIP_TURNS_PER_CONV
+        ),
+        "conv", "transcripts",
+    )
+    _mark("conv", sf_dir)
+
+
 def ensure_kg_stage(spark: SparkSession, sf_dir: str) -> None:
     """Stage the KG dataflow's kernel outputs for ``sf_dir``:
 

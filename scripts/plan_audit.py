@@ -329,6 +329,31 @@ def main() -> int:
         "join closed by a semi-join; degree merge is node-keyed",
     )
 
+    # round-5: bigram-LM training must combine map-side before its one
+    # (w1, w2)-keyed exchange, and the 1-row vocabulary-size scalar must
+    # broadcast (not cartesian) onto the model table
+    plan = plan_of(dq.QUERIES["lm_surprise"](spark, sf_dir))
+    check(
+        "lm_surprise: partial-agg LM training + broadcast V scalar",
+        plan.count("HashAggregate") >= 4
+        and "BroadcastNestedLoopJoin" in plan
+        and "CartesianProduct" not in plan,
+        "bigram/first-word counts combine map-side before their keyed "
+        "exchanges; the 1-row vocab count broadcasts onto the model",
+    )
+
+    # round-5: the role-transition lag window must partition by conv_id
+    # (bounded conversations) — an unpartitioned window over the corpus
+    # would serialize 10^12 turns through one task
+    plan = plan_of(dq.QUERIES["conv_role_transitions"](spark, sf_dir))
+    check(
+        "conv_role_transitions: conversation-partitioned lag window",
+        "windowspecdefinition(conv_id#" in plan
+        and "Exchange SinglePartition" not in plan,
+        "lag(state) partitions by conv_id; no single-partition exchange "
+        "anywhere in the transition rollup",
+    )
+
     from islamic_ner_spark.operators.graph_analytics import (
         negative_samples,
         personalized_pagerank,

@@ -95,6 +95,7 @@ def rebuild_groups(sf_dir: str) -> None:
     )
     groups = [
         ("kg", staging.ensure_kg_stage),
+        ("conv", staging.ensure_conv_stage),
         ("dedup", staging.ensure_dedup_stage),
         ("ann", staging.ensure_ann_stage),
         ("media", staging.ensure_media_stage),

@@ -130,3 +130,100 @@ def test_doc_keywords_integer_idf(spark) -> None:
     assert by[(0, "rare")] == (2000, 1)
     assert by[(0, "common")] == (1000, 2)
     assert by[(1, "common")] == (2000, 1)
+
+
+def test_lm_surprise_hand_docs(spark, monkeypatch) -> None:
+    # corpus bigrams: "a b" x2 (docs 1,2), "b c" x1 (doc 1)
+    # cu: c(a)=2, c(b)=1; V (first-word vocab) = 2
+    # s("a b") = (2+2) div (2+1) = 1;  s("b c") = (1+2) div (1+1) = 1
+    _with_docs(
+        spark,
+        monkeypatch,
+        [
+            (1, "a b c", "s"),
+            (2, "a b", "s"),
+            (3, "solo", "s"),
+            (4, "", "s"),
+        ],
+    )
+    from islamic_ner_spark.plans.driver_queries import q_lm_surprise
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprise_sum"], r["avg_surprise_x100"])
+        for r in q_lm_surprise(spark, "ignored").collect()
+    }
+    assert got == {
+        1: (2, 2, 100),
+        2: (1, 1, 100),
+        3: (0, 0, 0),  # one word: no bigrams, zero-filled row kept
+        4: (0, 0, 0),  # empty text: zero-filled row kept
+    }
+
+
+def test_lm_surprise_flags_unseen_continuations(spark, monkeypatch) -> None:
+    # "the" starts many bigrams; the doc pairing it with a one-off
+    # continuation must score strictly higher than the conventional one
+    rows = [(i, "the cat sat", "s") for i in range(1, 7)]
+    rows.append((7, "the zzzgibberish qq", "s"))
+    _with_docs(spark, monkeypatch, rows)
+    from islamic_ner_spark.plans.driver_queries import q_lm_surprise
+
+    got = {
+        r["doc_id"]: r["avg_surprise_x100"]
+        for r in q_lm_surprise(spark, "ignored").collect()
+    }
+    assert got[7] > got[1]
+    assert all(got[i] == got[1] for i in range(2, 7))
+
+
+def test_role_transitions_hand_convs(spark) -> None:
+    from islamic_ner_spark.operators.stats import role_transitions
+
+    rows = [
+        ("c1", 0, "user", None),
+        ("c1", 1, "assistant", None),
+        ("c1", 2, "tool", "search"),
+        ("c1", 3, "assistant", None),
+        ("c2", 0, "user", None),
+        ("c2", 1, "assistant", None),
+        ("c3", 0, "tool", None),  # tool turn with NULL tool name
+        ("c3", 1, "assistant", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    got = {
+        (r["prev_state"], r["state"]): (r["n_transitions"], r["n_convs"])
+        for r in role_transitions(df).collect()
+    }
+    assert got == {
+        ("user", "assistant"): (2, 2),
+        ("assistant", "tool:search"): (1, 1),
+        ("tool:search", "assistant"): (1, 1),
+        ("tool:?", "assistant"): (1, 1),
+    }
+
+
+def test_role_transitions_partition_invariance(spark) -> None:
+    # the lag window must order by turn_idx regardless of input layout
+    from islamic_ner_spark.operators.stats import role_transitions
+
+    rows = [
+        ("c1", i, "user" if i % 2 == 0 else "assistant", None)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    one = {
+        (r["prev_state"], r["state"]): (r["n_transitions"], r["n_convs"])
+        for r in role_transitions(df.coalesce(1)).collect()
+    }
+    many = {
+        (r["prev_state"], r["state"]): (r["n_transitions"], r["n_convs"])
+        for r in role_transitions(df.repartition(8)).collect()
+    }
+    assert one == many == {
+        ("user", "assistant"): (4, 1),
+        ("assistant", "user"): (3, 1),
+    }
