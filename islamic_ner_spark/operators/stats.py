@@ -347,3 +347,51 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
             F.countDistinct("conv_id").cast("long").alias("n_convs"),
         )
     )
+
+
+def tool_call_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-tool usage and latency rollup over the transcript table —
+    the agent-telemetry read a transcript-corpus owner runs before
+    training on tool-use traces: how often each tool fires, across how
+    many conversations, and how long the agent waits for it (the gap
+    from the tool turn's ts to the conversation's next turn).
+
+    Latency is integer-exact epoch-second arithmetic — last-turn tool
+    calls have no follow-up and are counted (``n_calls``) but excluded
+    from latency (``n_with_followup``); ``avg_latency_ms`` is the
+    floor-division mean so both engines reproduce it bit-for-bit.
+
+    Plan shape at 10^12 turns: ONE conv_id-keyed exchange feeds the
+    lead window (bounded conversations, skew-free), the tool filter
+    prunes to tool turns BEFORE the aggregation exchange, and the final
+    rollup is tool-vocabulary-sized with map-side partial combine;
+    the exact distinct-conversation count expands two-phase keyed by
+    (tool, conv_id).  Nothing collects.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts_s = F.col("ts").cast("long")
+    turns = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(F.col("tool"), F.lit("?")).alias("tool"),
+        (F.lead(ts_s).over(w) - ts_s).alias("latency_s"),
+    )
+    return (
+        turns.where(F.col("role") == "tool")
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("latency_s").cast("long").alias("n_with_followup"),
+            F.coalesce(F.sum("latency_s"), F.lit(0))
+            .cast("long")
+            .alias("total_latency_s"),
+            F.coalesce(
+                F.expr("(sum(latency_s) * 1000) div count(latency_s)"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("avg_latency_ms"),
+        )
+    )

@@ -3651,6 +3651,121 @@ ORACLE_SQL["conv_role_transitions"] = f"""
 """
 
 
+# --- SFT pair extraction over agent transcripts ----------------------------
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised (prompt, response) pairs with agentic-trace length
+    from the flagship transcripts (operators/sft.sft_pairs): each
+    assistant turn pairs with its nearest preceding user turn and
+    carries the count of tool turns consumed in between."""
+    from islamic_ner_spark.operators.sft import sft_pairs
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_conv_stage(spark, sf_dir)
+    return sft_pairs(
+        spark.read.parquet(staging.stage_path("conv", "transcripts"))
+    )
+
+
+QUERIES["sft_pairs"] = q_sft_pairs
+ORACLE_SQL["sft_pairs"] = f"""
+    WITH t AS (
+        SELECT conv_id, turn_idx, role, text,
+               SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tool
+        FROM read_parquet('{_CONV_TRANSCRIPTS}')
+    ),
+    e AS (
+        SELECT conv_id, turn_idx, role, text,
+               LAST_VALUE(CASE WHEN role = 'user' THEN text END
+                          IGNORE NULLS) OVER w AS prompt,
+               LAST_VALUE(CASE WHEN role = 'user' THEN turn_idx END
+                          IGNORE NULLS) OVER w AS prompt_turn_idx,
+               cum_tool - CASE WHEN role = 'tool' THEN 1 ELSE 0 END
+                   AS tools_before,
+               LAST_VALUE(CASE WHEN role = 'user' THEN cum_tool END
+                          IGNORE NULLS) OVER w AS tools_at_prompt
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT conv_id, turn_idx,
+           CAST(prompt_turn_idx AS INTEGER) AS prompt_turn_idx,
+           prompt, text AS response,
+           CAST(COALESCE(tools_before, 0) - COALESCE(tools_at_prompt, 0)
+                AS BIGINT) AS n_trace_tool_turns
+    FROM e WHERE role = 'assistant' AND prompt IS NOT NULL
+"""
+
+
+# --- per-tool usage + latency telemetry -------------------------------------
+
+
+def q_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool call counts and follow-up latency over the flagship
+    transcripts (operators/stats.tool_call_stats) — integer-exact epoch
+    arithmetic so both engines agree bit-for-bit."""
+    from islamic_ner_spark.operators.stats import tool_call_stats
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_conv_stage(spark, sf_dir)
+    return tool_call_stats(
+        spark.read.parquet(staging.stage_path("conv", "transcripts"))
+    )
+
+
+QUERIES["tool_call_stats"] = q_tool_call_stats
+ORACLE_SQL["tool_call_stats"] = f"""
+    WITH t AS (
+        SELECT conv_id, role, COALESCE(tool, '?') AS tool,
+               LEAD(CAST(epoch(ts) AS BIGINT)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+               ) - CAST(epoch(ts) AS BIGINT) AS latency_s
+        FROM read_parquet('{_CONV_TRANSCRIPTS}')
+    )
+    SELECT tool,
+           CAST(COUNT(*) AS BIGINT) AS n_calls,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(COUNT(latency_s) AS BIGINT) AS n_with_followup,
+           CAST(COALESCE(SUM(latency_s), 0) AS BIGINT) AS total_latency_s,
+           CAST(COALESCE((SUM(latency_s) * 1000) // COUNT(latency_s), 0)
+                AS BIGINT) AS avg_latency_ms
+    FROM t WHERE role = 'tool' GROUP BY tool
+"""
+
+
+# --- per-conversation document assembly -------------------------------------
+
+
+def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each conversation assembled into one role-tagged document in
+    turn_idx order (operators/sft.assemble_conversations) — the
+    north-rule's window-ordered turn assembly as a first-class operator,
+    value-hash-compared against DuckDB's ORDER BY string_agg."""
+    from islamic_ner_spark.operators.sft import assemble_conversations
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_conv_stage(spark, sf_dir)
+    return assemble_conversations(
+        spark.read.parquet(staging.stage_path("conv", "transcripts"))
+    )
+
+
+QUERIES["assemble_conversations"] = q_assemble_conversations
+ORACLE_SQL["assemble_conversations"] = f"""
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(length(role || ': ' || text)) AS BIGINT) AS n_chars,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+               AS conversation
+    FROM read_parquet('{_CONV_TRANSCRIPTS}')
+    GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

@@ -354,6 +354,44 @@ def main() -> int:
         "anywhere in the transition rollup",
     )
 
+    # round-5: SFT pair extraction must pay exactly ONE conv_id-keyed
+    # exchange — its two window passes share the (conv_id, turn_idx)
+    # spec, so the second Window reuses the first's partitioning
+    plan = plan_of(dq.QUERIES["sft_pairs"](spark, sf_dir))
+    check(
+        "sft_pairs: one conv exchange feeds both window passes",
+        plan.count("Exchange hashpartitioning(conv_id#") == 1
+        and "Exchange SinglePartition" not in plan,
+        "running-tool-count and last-user-turn windows chain over a "
+        "single conv_id hash exchange; nothing single-partitions",
+    )
+
+    # round-5: tool telemetry must filter to tool turns BEFORE the
+    # aggregation exchange and keep the lead window conv-partitioned
+    plan = plan_of(dq.QUERIES["tool_call_stats"](spark, sf_dir))
+    check(
+        "tool_call_stats: conv-keyed lead + pre-agg tool filter",
+        "windowspecdefinition(conv_id#" in plan
+        and plan.count("HashAggregate") >= 2
+        and "Exchange SinglePartition" not in plan,
+        "latency lead partitions by conv_id; the tool rollup combines "
+        "map-side (two-phase distinct) with no single-partition exchange",
+    )
+
+    # round-5: conversation assembly must be ONE conv-keyed aggregation
+    # with map-side partial collect (ObjectHashAggregate), never a
+    # global sort (ordering comes from array_sort inside each group)
+    plan = plan_of(dq.QUERIES["assemble_conversations"](spark, sf_dir))
+    check(
+        "assemble_conversations: partial-agg collect, no global sort",
+        "ObjectHashAggregate" in plan
+        and plan.count("Exchange hashpartitioning(conv_id#") == 1
+        and "Exchange rangepartitioning" not in plan
+        and "Exchange SinglePartition" not in plan,
+        "turn structs collect partially map-side into one conv_id "
+        "exchange; array_sort orders within each group, no global sort",
+    )
+
     from islamic_ner_spark.operators.graph_analytics import (
         negative_samples,
         personalized_pagerank,

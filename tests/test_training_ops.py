@@ -227,3 +227,122 @@ def test_role_transitions_partition_invariance(spark) -> None:
         ("user", "assistant"): (4, 1),
         ("assistant", "user"): (3, 1),
     }
+
+
+def test_sft_pairs_hand_convs(spark) -> None:
+    from islamic_ner_spark.operators.sft import sft_pairs
+
+    rows = [
+        # c1: user -> assistant -> tool -> tool -> assistant -> user -> assistant
+        ("c1", 0, "user", "q1", None),
+        ("c1", 1, "assistant", "a1", None),
+        ("c1", 2, "tool", "t", "search"),
+        ("c1", 3, "tool", "t", "fetch"),
+        ("c1", 4, "assistant", "a2", None),
+        ("c1", 5, "user", "q2", None),
+        ("c1", 6, "assistant", "a3", None),
+        # c2: assistant opener with no user before it -> dropped
+        ("c2", 0, "assistant", "hello", None),
+        ("c2", 1, "user", "q", None),
+        ("c2", 2, "assistant", "a", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["prompt_turn_idx"], r["prompt"], r["response"],
+            r["n_trace_tool_turns"],
+        )
+        for r in sft_pairs(df).collect()
+    }
+    assert got == {
+        ("c1", 1): (0, "q1", "a1", 0),
+        ("c1", 4): (0, "q1", "a2", 2),  # two tool turns in the trace
+        ("c1", 6): (5, "q2", "a3", 0),  # trace resets at the new prompt
+        ("c2", 2): (1, "q", "a", 0),    # opener emitted nothing
+    }
+
+
+def test_sft_pairs_partition_invariance(spark) -> None:
+    from islamic_ner_spark.operators.sft import sft_pairs
+
+    rows = []
+    for c in range(6):
+        for i in range(6):
+            role = ("user", "assistant", "tool")[i % 3]
+            rows.append(
+                (f"c{c}", i, role, f"{role}-{c}-{i}",
+                 "search" if role == "tool" else None)
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    one = sorted(map(tuple, sft_pairs(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, sft_pairs(df.repartition(16)).collect()))
+    assert one == many and len(one) == 12  # 2 assistant turns per conv
+
+
+def test_tool_call_stats_hand_convs(spark) -> None:
+    import datetime as dt
+
+    from islamic_ner_spark.operators.stats import tool_call_stats
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # c1: search answered after 7s, then fetch is the LAST turn (no followup)
+        ("c1", 0, "user", "q", None, ts(0)),
+        ("c1", 1, "tool", "t", "search", ts(10)),
+        ("c1", 2, "assistant", "a", None, ts(17)),
+        ("c1", 3, "tool", "t", "fetch", ts(20)),
+        # c2: search answered after 3s; NULL tool name answered after 5s
+        ("c2", 0, "tool", "t", "search", ts(0)),
+        ("c2", 1, "assistant", "a", None, ts(3)),
+        ("c2", 2, "tool", "t", None, ts(4)),
+        ("c2", 3, "assistant", "a", None, ts(9)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {
+        r["tool"]: (
+            r["n_calls"], r["n_convs"], r["n_with_followup"],
+            r["total_latency_s"], r["avg_latency_ms"],
+        )
+        for r in tool_call_stats(df).collect()
+    }
+    assert got == {
+        "search": (2, 2, 2, 10, 5000),  # (7 + 3) s -> floor-mean 5000 ms
+        "fetch": (1, 1, 0, 0, 0),       # trailing call: counted, no latency
+        "?": (1, 1, 1, 5, 5000),        # NULL tool name bucketizes as '?'
+    }
+
+
+def test_assemble_conversations_order_and_invariance(spark) -> None:
+    from islamic_ner_spark.operators.sft import assemble_conversations
+
+    rows = [
+        # deliberately out of turn order in the input
+        ("c1", 2, "assistant", "done"),
+        ("c1", 0, "user", "start"),
+        ("c1", 1, "tool", "run"),
+        ("c2", 0, "user", "hi"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    for frame in (df.coalesce(1), df.repartition(8)):
+        got = {
+            r["conv_id"]: (r["n_turns"], r["n_chars"], r["conversation"])
+            for r in assemble_conversations(frame).collect()
+        }
+        assert got == {
+            "c1": (3, 35, "user: start\ntool: run\nassistant: done"),
+            "c2": (1, 8, "user: hi"),
+        }
