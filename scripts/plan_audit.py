@@ -392,6 +392,21 @@ def main() -> int:
         "exchange; array_sort orders within each group, no global sort",
     )
 
+    # round-5: the five-table star join must broadcast every dimension
+    # (the lineitem fact never reshuffles for a join — the only
+    # exchange is the final aggregation's) and push the p_size
+    # predicate into the part scan
+    plan = plan_of(dq.QUERIES["region_part_revenue"](spark, sf_dir))
+    check(
+        "region_part_revenue: all-broadcast star, pushed part filter",
+        plan.count("BroadcastHashJoin") == 4
+        and "SortMergeJoin" not in plan
+        and plan.count("Exchange hashpartitioning") == 1
+        and "LessThanOrEqual(p_size,25)" in plan,
+        "part/supplier/nation/region broadcast onto the fact table; "
+        "one exchange total (final agg); p_size pushed to the scan",
+    )
+
     from islamic_ner_spark.operators.graph_analytics import (
         negative_samples,
         personalized_pagerank,
