@@ -345,6 +345,35 @@ def main() -> None:
         admission("model_ner")
         clock.run("model_ner_e2e", model_ner)
 
+    # --- transcript training-data ops over the FULL synthetic corpus ------
+    # (outside KG_ONLY so scaling-leg workloads stay byte-identical)
+    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        from islamic_ner_spark.operators.sft import (
+            assemble_conversations,
+            sft_pairs,
+        )
+
+        admission("transcript_ops")
+        corpus = spark.read.parquet(staging)
+
+        def run_sft_pairs() -> None:
+            # aggregate sink that touches every output column, so column
+            # pruning cannot skip the prompt/response window computation
+            sft_pairs(corpus).select(
+                F.count(F.lit(1)),
+                F.sum(F.length("prompt") + F.length("response")),
+                F.sum("n_trace_tool_turns"),
+            ).collect()
+
+        clock.run("sft_pairs_e2e", run_sft_pairs)
+
+        def run_assemble() -> None:
+            assemble_conversations(corpus).select(
+                F.count(F.lit(1)), F.sum(F.length("conversation"))
+            ).collect()
+
+        clock.run("assemble_convs_e2e", run_assemble)
+
     # --- relational / text / similarity headliners ------------------------
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
         admission("sql_headliners")
