@@ -29,10 +29,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-# The committed BENCH.md headline pair (guarded-clean, CPU columns 1.1%
-# apart): re-seeded verbatim so the min-combined-CPU selection rule can
-# keep preferring it over pairs measured in contended windows.  Numbers
-# MUST mirror BENCH.md's table — update both together.
+# The committed BENCH.md headline pair (guarded-clean, freshly measured
+# in round 5; leg CPU columns 5.8% apart, the kg-build phase itself
+# 0.5% apart): re-seeded verbatim so the min-combined-CPU selection
+# rule can keep preferring it over pairs measured in contended windows.
+# Numbers MUST mirror BENCH.md's table — update both together.
 _HEADLINE_WORKLOAD = {
     "sf_dir": "/root/testdata/sf0.1",
     "convs_per_doc": 300,
@@ -68,8 +69,8 @@ def reseed_scaling_history(force: bool = False) -> Path:
     if out.exists() and not force:
         print(f"seed exists, keeping: {out}")
         return out
-    small = _leg(4, 293.713, 20428.1, 33874.1, 1304.6)
-    large = _leg(16, 81.57, 73556.5, 121972.2, 1318.6)
+    small = _leg(4, 285.014, 21051.6, 34908.0, 1256.4)
+    large = _leg(16, 79.994, 75005.6, 124375.2, 1329.5)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(
         json.dumps(
