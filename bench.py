@@ -55,16 +55,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 LEG_WORKLOAD_REV = 1
 
 # Committed work-conservation reference for the contended-window
-# self-flag (round-4 verdict next #2): container CPU-s the kg_build
-# phase burns on this workload in a quiet window, from the committed
-# BENCH.md headline pair (local[16] leg: 1318.6 CPU-s total for
-# kg_build + top_narrators + components at 6M turns — kg_build
-# dominates).  cpu_s is parallelism-invariant (that is the point of
-# the column), so one number serves every cpus setting; it scales
-# linearly with turn count.  A measured kg_build cpu_s >50% above the
-# scaled reference means the window was contended (stalled-cycle
-# inflation — BENCH_r04 hit 4502 vs r03's 1868 for byte-identical
-# output) and the emitted JSON says so itself.
+# self-flag (round-4 verdict next #2).  Calibration (code-review r5
+# made this precise): the quiet-window kg_build PHASE alone burns
+# ~1132-1137 CPU-s at local[4]/local[16] on the 6M-turn workload
+# (round-5 headline pair legs), but the driver's per-round bench runs
+# at local[32], where 32 threads on this box's SMT-shared cores
+# inflate the same phase's CPU time ~15-25% — so the reference is set
+# at the local[16] LEG TOTAL (1318.6: kg_build + top_narrators +
+# components), which empirically matches the quiet local[32] kg_build
+# phase burn.  cpu_s scales linearly with turn count; the 1.5x
+# tolerance then flags genuine stall inflation (BENCH_r04 hit 4502 vs
+# r03's 1868 for byte-identical output; this round's contended full
+# bench hit 2631, flagged, vs the clean window's pass) without
+# false-flagging clean wide runs.
 KG_BUILD_REF_CPU_S = 1320.0
 KG_BUILD_REF_TURNS = 6_000_000
 CONTENTION_TOLERANCE = 1.5
@@ -196,6 +199,11 @@ def main() -> None:
     # disables; the default wait is short enough not to eat an unattended
     # driver budget, and an expired wait still proceeds (the per-phase
     # evidence columns ship regardless).
+    # ONE read of the leg-workload switch: four phase groups hang off it,
+    # and a future phase landing under a stale per-site env lookup would
+    # silently change what a KG_ONLY scaling leg times (the byte-equal
+    # invariant LEG_WORKLOAD_REV protects) — code-review r5
+    kg_only = bool(os.environ.get("SPARK_GRAFT_KG_ONLY"))
     admit_wait = int(os.environ.get("SPARK_GRAFT_ADMIT_WAIT", "300"))
     admit_load = float(
         os.environ.get("SPARK_GRAFT_ADMIT_LOAD", str(max(4, cpus // 4)))
@@ -211,8 +219,15 @@ def main() -> None:
         if admit_budget[0] <= 0:
             return
         t0 = time.time()
+        # allow_decay_tail: between bench's own phases, load1 is mostly
+        # the EWMA tail of the phase that just finished — admit when the
+        # container is live-idle and load is falling, instead of burning
+        # the shared budget waiting out our own decay (code-review r5)
         ok = hostguard.wait_for_admission(
-            admit_load, max_wait_s=admit_budget[0], poll_s=10.0
+            admit_load,
+            max_wait_s=admit_budget[0],
+            poll_s=10.0,
+            allow_decay_tail=True,
         )
         admit_budget[0] -= time.time() - t0
         if not ok:
@@ -295,7 +310,7 @@ def main() -> None:
     # to the committed headline pair's (which predates these two) — the
     # ~700 extra CPU-s they add would otherwise bar every new pair from
     # ever winning the min-CPU comparison, regardless of window quality.
-    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+    if not kg_only:
         clock.run("kg_pagerank", lambda: pagerank_integer(result.edges).collect())
         clock.run("kg_triangles", lambda: triangles(result.edges).count())
 
@@ -319,7 +334,7 @@ def main() -> None:
     # SPARK_GRAFT_MODEL_REPL scales the doc count (default 10x =>
     # 50k docs at sf0.1).
     model_docs = 0
-    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+    if not kg_only:
         from islamic_ner_spark.operators.model_ner import model_ner_labels
 
         model_repl = int(os.environ.get("SPARK_GRAFT_MODEL_REPL", "10"))
@@ -347,7 +362,7 @@ def main() -> None:
 
     # --- transcript training-data ops over the FULL synthetic corpus ------
     # (outside KG_ONLY so scaling-leg workloads stay byte-identical)
-    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+    if not kg_only:
         from islamic_ner_spark.operators.sft import (
             assemble_conversations,
             sft_pairs,
@@ -375,7 +390,7 @@ def main() -> None:
         clock.run("assemble_convs_e2e", run_assemble)
 
     # --- relational / text / similarity headliners ------------------------
-    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+    if not kg_only:
         admission("sql_headliners")
         for name in (
             "lineitem_pricing_summary",
@@ -447,7 +462,7 @@ def main() -> None:
         payload["model_docs_per_sec"] = round(
             model_docs / clock.timings["model_ner_e2e"], 1
         )
-    if os.environ.get("SPARK_GRAFT_KG_ONLY"):
+    if kg_only:
         # stamped ONLY on KG_ONLY legs: scaling_run compares accumulated
         # pairs by combined container CPU, and that comparison is only
         # meaningful between legs that timed the identical KG_ONLY

@@ -100,8 +100,51 @@ def load1() -> float | None:
         return None
 
 
+def load5() -> float | None:
+    """Host 5-minute loadavg."""
+    try:
+        return float(Path("/proc/loadavg").read_text().split()[1])
+    except OSError:
+        return None
+
+
+def _container_cpu_ns() -> int | None:
+    """Container-wide cumulative CPU (cgroup v1 cpuacct, v2 cpu.stat)."""
+    try:
+        return int(Path("/sys/fs/cgroup/cpuacct/cpuacct.usage").read_text())
+    except OSError:
+        pass
+    for path in ("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/unified/cpu.stat"):
+        try:
+            for line in Path(path).read_text().splitlines():
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) * 1000
+        except OSError:
+            continue
+    return None
+
+
+def container_cpu_rate(sample_s: float = 0.5) -> float | None:
+    """Cores this container is burning RIGHT NOW (cgroup CPU delta over a
+    short sample) — distinguishes live in-container work from the decaying
+    loadavg tail of work that already finished."""
+    import time
+
+    before = _container_cpu_ns()
+    if before is None:
+        return None
+    time.sleep(sample_s)
+    after = _container_cpu_ns()
+    if after is None:
+        return None
+    return (after - before) / 1e9 / sample_s
+
+
 def wait_for_admission(
-    load_threshold: float, max_wait_s: int = 900, poll_s: float = 20.0
+    load_threshold: float,
+    max_wait_s: int = 900,
+    poll_s: float = 20.0,
+    allow_decay_tail: bool = False,
 ) -> bool:
     """Block until the container has NO foreign Spark processes and (when
     ``load_threshold`` > 0) the host 1-min loadavg — which IS
@@ -116,7 +159,18 @@ def wait_for_admission(
     (per-round driver runs — round-4 verdict: BENCH_r04 was taken at
     load1 10-36 and showed a phantom 2.6x regression that only the
     evidence columns could refute; waiting for a quiet window makes the
-    official artifact itself trustworthy)."""
+    official artifact itself trustworthy).
+
+    ``allow_decay_tail=True`` (bench.py's BETWEEN-PHASE admissions) also
+    admits when the load is just the decaying 1-min-EWMA tail of work
+    that already finished: no foreign Spark process, the container
+    itself near-idle (< 0.5 cores over a live cgroup sample), and load1
+    falling well below load5.  A heavy bench phase pegs every core, so
+    waiting for the loadavg *of our own finished phase* to decay burns
+    the shared wait budget without avoiding any contention — live
+    external load holds load1 flat-or-rising and never takes this path.
+    Callers already proceed on expiry, so the fast path can only save
+    wasted waiting, never admit worse than the status quo."""
     import time
 
     started = time.time()
@@ -127,6 +181,16 @@ def wait_for_admission(
             not load_threshold or load_now is None or load_now <= load_threshold
         ):
             return True
+        if allow_decay_tail and not foreign and load_now is not None:
+            l5 = load5()
+            rate = container_cpu_rate()
+            if (
+                l5
+                and load_now < 0.9 * l5
+                and rate is not None
+                and rate < 0.5
+            ):
+                return True
         if time.time() - started >= max_wait_s:
             print(
                 f"admission wait expired after {max_wait_s:.0f}s "

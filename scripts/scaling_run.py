@@ -52,6 +52,13 @@ def run_bench(cpus: int, convs_per_doc: int, turns: int, sf_dir: str) -> dict:
             "SPARK_GRAFT_CONVS_PER_DOC": str(convs_per_doc),
             "SPARK_GRAFT_TURNS": str(turns),
             "SPARK_GRAFT_KG_ONLY": "1",
+            # the PARENT gate admits each leg; the child must not run its
+            # own default 300s admission wait — a foreign JVM appearing
+            # and exiting during that in-child wait would be seen by our
+            # contamination monitor (which cannot tell the child's wait
+            # from its timed phases) and burn a full leg retry on a leg
+            # whose measured window was actually clean (code-review r5)
+            "SPARK_GRAFT_ADMIT_WAIT": "0",
         }
     )
     # Pin the whole process tree (JVM threads + Python UDF workers) to
@@ -158,7 +165,10 @@ def main() -> None:
     n_large = n_small * 4
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "0") or 0)
+    # default 4: with the in-child bench admission disabled (the child
+    # sets ADMIT_WAIT=0 so the leg monitor never watches a wait), the
+    # parent must own the quiet-window gate; 0 disables explicitly
+    quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4") or 0)
     # mid-leg load ceiling, WIDTH-AWARE: a leg whose 1-min loadavg hits
     # (its own core count + headroom) while running is retried like a
     # contaminated one (0 = disabled).  The ceiling must scale with the
@@ -419,6 +429,35 @@ def main() -> None:
 
     cpu_small = results[n_small].get("cpu_total_s")
     cpu_large = results[n_large].get("cpu_total_s")
+
+    # Epoch note must describe HOW the current headline pair was chosen
+    # (code-review r5: a static "freshly measured" claim baked into the
+    # template would be regenerated verbatim by an invocation whose
+    # winner came from the seeded history — a self-contradicting
+    # artifact next to the PROVISIONAL label)
+    kg_cpu_s = chosen["small"].get("cpu_s", {}).get("kg_build_e2e")
+    kg_cpu_l = chosen["large"].get("cpu_s", {}).get("kg_build_e2e")
+    if chosen.get("fresh"):
+        fresh_note = (
+            f"the headline pair above was freshly measured by THIS "
+            f"invocation (min-combined-CPU winner at "
+            f"{pair_cost(chosen):.1f} CPU-s"
+            + (
+                f"; the kg-build phase itself burned {kg_cpu_s} vs "
+                f"{kg_cpu_l} CPU-s across the two widths"
+                if kg_cpu_s and kg_cpu_l
+                else ""
+            )
+            + ")"
+        )
+    else:
+        fresh_note = (
+            "the headline pair above comes from the accumulated pair "
+            "history (none of this invocation's fresh pairs beat it by "
+            "the min-CPU rule; the pair itself was freshly measured by "
+            "round 5's final full invocation — see this file's git "
+            "history for that run's legs)"
+        )
     if cpu_small and cpu_large:
         delta_pct = (
             abs(cpu_large - cpu_small) / max(cpu_small, cpu_large) * 100.0
@@ -436,12 +475,25 @@ def main() -> None:
             "the same-run pinned pair.)"
         )
     if probe_s and probe_l:
-        conservation += (
-            f"  A single-threaded fixed-kernel speed probe bracketing each "
-            f"leg (256 MiB blake2b) measured {probe_s}s vs {probe_l}s "
-            f"({summary['speed_mismatch_pct']}% apart) — direct evidence the "
-            "two legs ran at the same effective machine speed."
-        )
+        mismatch = summary["speed_mismatch_pct"]
+        if mismatch <= 15.0:
+            conservation += (
+                f"  A single-threaded fixed-kernel speed probe bracketing "
+                f"each leg (256 MiB blake2b) measured {probe_s}s vs "
+                f"{probe_l}s ({mismatch}% apart) — direct evidence the two "
+                "legs ran at the same effective machine speed."
+            )
+        else:
+            conservation += (
+                f"  The bracketing speed probes measured {probe_s}s vs "
+                f"{probe_l}s ({mismatch}% apart — above the 15% same-speed "
+                "gate, so by the repo's own criterion the probe brackets "
+                "disagree; each leg's stamp is the WORSE of its two "
+                "brackets, so a pre-leg probe that caught the previous "
+                "phase's decay can overstate the mismatch, and the "
+                "kg-phase CPU columns above are the steal-immune "
+                "work-conservation signal to weigh instead)."
+            )
 
     epoch_note = ""
     if efficiency < 0.8 and cpu_small and cpu_large and (
@@ -548,11 +600,7 @@ direct CPU-inflation signature (e.g. a wide leg at 3814 CPU-s vs the
 narrow leg's 2026 for identical output) and are excluded by the
 min-CPU rule, not by judgment calls.
 
-Round-5 epoch: the headline pair above was FRESHLY MEASURED by this
-epoch's final invocation (it displaced the re-seeded round-4 pair by
-the min-CPU rule: combined 2585.9 vs 2623.2 CPU-s, with the kg-build
-phase burning 1131.9 vs 1137.1 CPU-s across the two widths — 0.5%
-apart, near-perfect work conservation).  The seven earlier fresh pairs
+Round-5 epoch: {fresh_note}.  The seven earlier round-5 fresh pairs
 of the epoch document what contended windows do: their NARROW (4-core)
 legs still reproduced quiet-window CPU within +-7% (1166-1370; one
 spike-crossed leg at 1742) while their WIDE (16-core) legs inflated
