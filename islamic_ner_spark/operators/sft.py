@@ -133,3 +133,44 @@ def assemble_conversations(
             sep,
         ).alias("conversation"),
     )
+
+
+def sft_pair_quality(transcripts: DataFrame) -> DataFrame:
+    """Curation features over extracted SFT pairs — the filter step that
+    follows :func:`sft_pairs` in a real pipeline (drop echo responses,
+    degenerate length ratios, zero-overlap non-sequiturs before
+    training):
+
+    * ``n_prompt_words`` / ``n_response_words`` — whitespace tokens
+    * ``n_shared_words``   — distinct words the response copies from its
+      prompt (echo / extractiveness signal)
+    * ``len_ratio_x100``   — response chars per 100 prompt chars
+      (integer floor division, engine-exact)
+
+    All features are JVM column expressions over the sft_pairs plan —
+    array_distinct / array_intersect on split words, no UDF, no new
+    exchange beyond the single conv_id window exchange the extraction
+    already pays.  Empty strings tokenize to zero words (split of ''
+    yields [''], filtered out identically in both engines).
+    """
+    pairs = sft_pairs(transcripts)
+    words = lambda c: F.array_remove(  # noqa: E731
+        F.array_distinct(F.split(F.trim(F.col(c)), r"\s+")), ""
+    )
+    p_words = words("prompt")
+    r_words = words("response")
+    return pairs.select(
+        "conv_id",
+        "turn_idx",
+        "n_trace_tool_turns",
+        F.size(p_words).cast("long").alias("n_prompt_words"),
+        F.size(r_words).cast("long").alias("n_response_words"),
+        F.size(F.array_intersect(r_words, p_words))
+        .cast("long")
+        .alias("n_shared_words"),
+        F.expr(
+            "(length(response) * 100) div greatest(length(prompt), 1)"
+        )
+        .cast("long")
+        .alias("len_ratio_x100"),
+    )

@@ -3701,6 +3701,48 @@ ORACLE_SQL["sft_pairs"] = f"""
 """
 
 
+# --- SFT pair curation features ---------------------------------------------
+
+
+def q_sft_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Echo/length/overlap curation features over the extracted SFT
+    pairs (operators/sft.sft_pair_quality) — pure column expressions on
+    the sft_pairs plan, no extra exchange."""
+    from islamic_ner_spark.operators.sft import sft_pair_quality
+    from islamic_ner_spark.plans import staging
+
+    staging.ensure_conv_stage(spark, sf_dir)
+    return sft_pair_quality(
+        spark.read.parquet(staging.stage_path("conv", "transcripts"))
+    )
+
+
+QUERIES["sft_pair_quality"] = q_sft_pair_quality
+# the pair-extraction SQL is reused verbatim as a derived table, so the
+# two oracles can never drift apart
+ORACLE_SQL["sft_pair_quality"] = """
+    SELECT conv_id, turn_idx, n_trace_tool_turns,
+           CAST(len(list_filter(list_distinct(
+               regexp_split_to_array(trim(prompt), '\\s+')), x -> x <> ''))
+               AS BIGINT) AS n_prompt_words,
+           CAST(len(list_filter(list_distinct(
+               regexp_split_to_array(trim(response), '\\s+')), x -> x <> ''))
+               AS BIGINT) AS n_response_words,
+           CAST(len(list_intersect(
+               list_filter(list_distinct(
+                   regexp_split_to_array(trim(response), '\\s+')), x -> x <> ''),
+               list_filter(list_distinct(
+                   regexp_split_to_array(trim(prompt), '\\s+')), x -> x <> '')))
+               AS BIGINT) AS n_shared_words,
+           CAST((length(response) * 100) // greatest(length(prompt), 1)
+               AS BIGINT) AS len_ratio_x100
+    FROM (__SFT_PAIRS__) b
+"""
+ORACLE_SQL["sft_pair_quality"] = ORACLE_SQL["sft_pair_quality"].replace(
+    "__SFT_PAIRS__", ORACLE_SQL["sft_pairs"]
+)
+
+
 # --- per-tool usage + latency telemetry -------------------------------------
 
 

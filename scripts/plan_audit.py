@@ -366,6 +366,18 @@ def main() -> int:
         "single conv_id hash exchange; nothing single-partitions",
     )
 
+    # round-5: the curation features must add ZERO cost to the pair
+    # extraction — pure column expressions, same single conv exchange
+    plan = plan_of(dq.QUERIES["sft_pair_quality"](spark, sf_dir))
+    check(
+        "sft_pair_quality: features add no exchange to extraction",
+        plan.count("Exchange hashpartitioning(conv_id#") == 1
+        and "Exchange SinglePartition" not in plan
+        and "BatchEvalPython" not in plan,
+        "echo/length/overlap features are JVM array expressions layered "
+        "on the sft_pairs plan; still exactly one conv_id exchange",
+    )
+
     # round-5: tool telemetry must filter to tool turns BEFORE the
     # aggregation exchange and keep the lead window conv-partitioned
     plan = plan_of(dq.QUERIES["tool_call_stats"](spark, sf_dir))

@@ -346,3 +346,31 @@ def test_assemble_conversations_order_and_invariance(spark) -> None:
             "c1": (3, 35, "user: start\ntool: run\nassistant: done"),
             "c2": (1, 8, "user: hi"),
         }
+
+
+def test_sft_pair_quality_hand_convs(spark) -> None:
+    from islamic_ner_spark.operators.sft import sft_pair_quality
+
+    rows = [
+        ("c1", 0, "user", "find the cat", None),
+        ("c1", 1, "assistant", "the cat sat on the mat", None),  # echoes 2 words
+        ("c2", 0, "user", "hello", None),
+        ("c2", 1, "assistant", "hello", None),  # pure echo
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["n_prompt_words"], r["n_response_words"], r["n_shared_words"],
+            r["len_ratio_x100"],
+        )
+        for r in sft_pair_quality(df).collect()
+    }
+    # c1: prompt {find,the,cat}=3; response {the,cat,sat,on,mat}=5 distinct
+    #     shared {the,cat}=2; chars 22 resp / 12 prompt -> 183
+    # c2: 1/1 words, 1 shared, 5/5 chars -> 100
+    assert got == {
+        ("c1", 1): (3, 5, 2, 183),
+        ("c2", 1): (1, 1, 1, 100),
+    }
