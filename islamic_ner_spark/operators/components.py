@@ -86,9 +86,17 @@ def _local_components(spark, rows) -> DataFrame:
             parent[rb] = ra
     mapping = [(node, find(node)) for node in parent]
     # single partition: a locally-solved mapping is tiny, and fanning it
-    # over defaultParallelism tasks just adds scheduling overhead
+    # over defaultParallelism tasks just adds scheduling overhead.  The
+    # frame is built via pandas/Arrow: createDataFrame over a plain list
+    # parallelizes into defaultParallelism pickled partitions, and every
+    # downstream action re-reads them through one coalesced task at
+    # ~4s per action (measured) — the Arrow path is a single local
+    # batch and costs ~0.1s for the identical result.
+    import pandas as pd
+
+    frame = pd.DataFrame(mapping or [("", "")], columns=["node", "component"])
     return (
-        spark.createDataFrame(mapping or [("", "")], "node string, component string")
+        spark.createDataFrame(frame, schema="node string, component string")
         .coalesce(1)
         .where(F.col("node") != "")
     )
@@ -106,28 +114,33 @@ def connected_components(
     Size-adaptive: edge sets under ``local_threshold`` rows are solved
     with driver-side union-find (identical result, none of the per-round
     shuffle/job overhead); larger graphs run the iterative
-    large-star/small-star rounds.  Probing is two-tier: one bounded
-    ``limit(100k).collect()`` job serves the common small case directly
-    (≤ ~10 MB to the driver AND it already delivered the data), and only
-    graphs past that bound pay the checkpoint, where a COUNT — a scalar,
-    no row shipping — decides between local solve and the distributed
-    rounds.  No code path ever ships more than ``local_threshold`` rows.
+    large-star/small-star rounds.  Probing is one COUNT over the deduped
+    edges — a fully parallel scan returning a scalar (the earlier
+    ``limit(100k).collect()`` probe ran through CollectLimit's
+    incremental partition scale-up, which serialized the whole
+    dedup scan through a handful of tasks: measured ~5s wall at 4-5x
+    effective parallelism on a 10^7-row cached edge table vs <1s for
+    the parallel count).  Rows ship to the driver only after the count
+    says they fit; no code path ever ships more than
+    ``local_threshold`` rows.
     """
     spark = edges.sparkSession
-    current = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # materialize the dedup ONCE, fully parallel: the count then reads
+    # executor-local blocks, the small-case collect ships the already-
+    # computed rows, and the distributed rounds (which needed this
+    # checkpoint anyway to cap lineage) start from the same blocks —
+    # upstream (e.g. the fuzzy pair-scoring Arrow pass feeding entity
+    # canonicalization) is never evaluated twice
+    current = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
-    fast_cap = min(100_000, local_threshold)
-    probe = current.limit(fast_cap + 1).collect()
-    if not probe:
+    n_edges = current.count()
+    if n_edges == 0:
         return spark.createDataFrame([], "node string, component string")
-    if len(probe) <= fast_cap:
-        return _local_components(spark, probe)
-
-    # materialize once: both remaining strategies re-consume the deduped
-    # edges (the distributed rounds needed this checkpoint anyway), and
-    # the count then reads executor-local blocks
-    current = current.localCheckpoint(eager=True)
-    n_edges = current.limit(local_threshold + 1).count()
     if n_edges <= local_threshold:
         return _local_components(spark, current.collect())
 

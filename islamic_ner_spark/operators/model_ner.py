@@ -64,12 +64,19 @@ def deterministic_numpy_encoder(*, dim: int = 64, seed: int = 13):
     numpy + blake2b, identical on every executor, machine, and run.
     """
     import hashlib
+    from functools import lru_cache
 
     import numpy as np
 
     rng = np.random.RandomState(seed)
     weights = rng.normal(size=(dim, len(NUMPY_ID2LABEL)))
 
+    # word pieces are <= 4 chars drawn from a small corpus vocabulary, so
+    # the distinct-piece set is tiny relative to the token stream; the
+    # char-trigram hashing dominated the encoder's profile (~50%), and a
+    # bounded memo removes it for repeats.  Cached arrays are never
+    # mutated (np.stack copies), so sharing them is safe.
+    @lru_cache(maxsize=1 << 17)
     def piece_features(piece: str) -> np.ndarray:
         vec = np.zeros(dim)
         bounded = f"^{piece}$"
@@ -116,6 +123,13 @@ def make_word_predictor(encode, id2label: dict, word_window: int, max_seq: int):
 
     from islamic_ner_spark.functions.annotate import normalize_label, repair_bio
 
+    # the label inventory is tiny and fixed per model — normalize each
+    # entry once instead of per predicted word (normalize_label was ~12%
+    # of the predictor's profile at bench scale)
+    norm_label_of = {
+        pred_id: normalize_label(str(label)) for pred_id, label in id2label.items()
+    }
+
     def predict(words: List[str]) -> tuple[List[str], List[float]]:
         labels = ["O"] * len(words)
         confidences = [0.0] * len(words)
@@ -134,9 +148,7 @@ def make_word_predictor(encode, id2label: dict, word_window: int, max_seq: int):
                     continue
                 seen.add(word_id)
                 pred_id = int(prediction_ids[token_index])
-                labels[chunk_start + word_id] = normalize_label(
-                    str(id2label.get(pred_id, "O"))
-                )
+                labels[chunk_start + word_id] = norm_label_of.get(pred_id, "O")
                 confidences[chunk_start + word_id] = float(
                     probabilities[token_index, pred_id]
                 )

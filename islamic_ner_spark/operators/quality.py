@@ -52,30 +52,49 @@ def repetition_stats(
         ).alias("bigrams"),
     )
 
-    def unit_rollup(frame: DataFrame, unit_col: str, prefix: str) -> DataFrame:
-        counts = (
-            frame.select("doc_id", F.explode(unit_col).alias("unit"))
-            .groupBy("doc_id", "unit")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        return counts.groupBy("doc_id").agg(
-            F.sum("cnt").alias(f"n_{prefix}"),
-            F.count(F.lit(1)).alias(f"n_distinct_{prefix}"),
-            F.max("cnt").alias(f"top_{prefix}_count"),
-        )
-
-    word_stats = unit_rollup(with_units, "words", "words")
-    bigram_stats = unit_rollup(
-        with_units.where(F.size("bigrams") > 0), "bigrams", "bigrams"
-    ).select("doc_id", "n_bigrams", "top_bigrams_count")
-
-    joined = word_stats.join(bigram_stats, "doc_id", "left").select(
+    # words and bigrams fuse into ONE kind-tagged explode feeding one
+    # (doc, kind, unit)-keyed count and one doc-keyed rollup — two
+    # exchanges total.  The earlier two-branch formulation (separate
+    # word/bigram explodes re-joined per doc) re-ran the scan + split +
+    # bigram build per branch and paid 4 exchanges + a join: measured
+    # 4.5s vs 0.14s warm at sf0.1 for identical output.
+    tagged = with_units.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "words",
+                    lambda w: F.struct(F.lit(0).alias("kind"), w.alias("unit")),
+                ),
+                F.transform(
+                    "bigrams",
+                    lambda b: F.struct(F.lit(1).alias("kind"), b.alias("unit")),
+                ),
+            )
+        ).alias("u"),
+    ).select("doc_id", F.col("u.kind").alias("kind"), F.col("u.unit").alias("unit"))
+    counts = tagged.groupBy("doc_id", "kind", "unit").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_word = F.col("kind") == 0
+    is_bigram = F.col("kind") == 1
+    joined = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_word, F.col("cnt"))).alias("n_words"),
+        F.count(F.when(is_word, True)).alias("n_distinct_words"),
+        F.max(F.when(is_word, F.col("cnt"))).alias("top_words_count"),
+        F.coalesce(F.sum(F.when(is_bigram, F.col("cnt"))), F.lit(0)).alias(
+            "n_bigrams"
+        ),
+        F.coalesce(F.max(F.when(is_bigram, F.col("cnt"))), F.lit(0)).alias(
+            "top_bigram_count"
+        ),
+    ).select(
         "doc_id",
         "n_words",
         "n_distinct_words",
         "top_words_count",
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("top_bigrams_count", F.lit(0)).alias("top_bigram_count"),
+        "n_bigrams",
+        "top_bigram_count",
     )
     # integer-exact: `div` is integral division (non-negative operands
     # here), so no float rounding can diverge from the oracle's `//`

@@ -320,11 +320,14 @@ def build_graph(
     else:
         annotated = annotate_transcripts(transcripts, gazetteer_bc)
         # Only the extraction outputs feed the KG stages; tokens/labels/
-        # norm_text are the bulk of the row and caching them would
-        # dominate the stage cost.  The full annotated view stays lazy
-        # (recomputed on demand for audits/stats).
-        extracted = annotated.select(
-            "conv_id", "turn_idx", "doc_id", "mentions", "triples"
+        # norm_text are the bulk of the row, so the build materializes a
+        # LEAN annotate pass (same memoized kernel, 5-column output —
+        # the Arrow boundary never serializes the dropped columns, and
+        # the input projection prunes role/tool/ts from the scan).  The
+        # full annotated view stays lazy (recomputed on demand for
+        # audits/stats).
+        extracted = annotate_transcripts(
+            transcripts, gazetteer_bc, extraction_only=True
         ).persist()
 
     result = _build_from_annotated(
@@ -376,7 +379,12 @@ def _build_from_annotated(
         pass  # mentions/triples are cheap explodes of the cached `extracted`
 
     resolution = build_resolution_table(
-        spark, mentions, triples, gazetteer_df, gazetteer_bc, persisted=persisted
+        spark, mentions, triples, gazetteer_df, gazetteer_bc, persisted=persisted,
+        # in-memory path: derive the distinct strings in ONE scan of the
+        # cached extraction instead of three explode scans (mentions +
+        # two triple endpoints); the work_dir path keeps the staged
+        # mentions/triples parquet (column-pruned) as the cheaper source
+        extracted=None if work_dir else extracted,
     )
     if work_dir:
         path = str(Path(work_dir) / "resolution")
