@@ -162,18 +162,23 @@ def wait_for_admission(
     official artifact itself trustworthy).
 
     ``allow_decay_tail=True`` (bench.py's BETWEEN-PHASE admissions) also
-    admits when the load is just the decaying 1-min-EWMA tail of work
+    admits when the load looks like the decaying 1-min-EWMA tail of work
     that already finished: no foreign Spark process, the container
-    itself near-idle (< 0.5 cores over a live cgroup sample), and load1
-    falling well below load5.  A heavy bench phase pegs every core, so
-    waiting for the loadavg *of our own finished phase* to decay burns
-    the shared wait budget without avoiding any contention — live
-    external load holds load1 flat-or-rising and never takes this path.
+    itself near-idle (< 0.5 cores over a live cgroup sample), load1
+    falling well below load5, AND load1 already within a small multiple
+    of the threshold.  A heavy bench phase pegs every core, so waiting
+    for the loadavg *of our own finished phase* to decay burns the
+    shared wait budget without avoiding any contention.  The falling
+    shape alone cannot distinguish our own tail from external load that
+    is winding down but still running (a co-tenant dropping 30->12
+    cores also holds load1 falling) — hence the absolute bound, which
+    caps how contended a window the fast path can ever admit into.
     Callers already proceed on expiry, so the fast path can only save
     wasted waiting, never admit worse than the status quo."""
     import time
 
     started = time.time()
+    decay_ceiling = 3.0 * load_threshold if load_threshold else None
     while True:
         foreign = foreign_spark_processes()
         load_now = load1()
@@ -187,6 +192,7 @@ def wait_for_admission(
             if (
                 l5
                 and load_now < 0.9 * l5
+                and (decay_ceiling is None or load_now <= decay_ceiling)
                 and rate is not None
                 and rate < 0.5
             ):

@@ -57,36 +57,13 @@ def _distinct_linkable_strings(mentions: DataFrame, triples: DataFrame) -> DataF
     return from_mentions.union(subj).union(obj).distinct()
 
 
-def _distinct_linkable_strings_from_extracted(extracted: DataFrame) -> DataFrame:
-    """Same distinct (text, entity_type) set as
-    :func:`_distinct_linkable_strings`, computed in ONE scan of the
-    extraction (mentions + both triple endpoints concatenated
-    array-side before a single explode) instead of three separate
-    scans/explodes of the cached table — the union-then-distinct and
-    the concat-then-distinct see the identical multiset."""
-    linkable = list(LINKABLE_TYPES)
-    pair = lambda text, etype: F.struct(  # noqa: E731
-        text.alias("text"), etype.alias("entity_type")
-    )
-    candidates = F.concat(
-        F.transform(
-            F.filter("mentions", lambda m: m["entity_type"].isin(linkable)),
-            lambda m: pair(m["text"], m["entity_type"]),
-        ),
-        F.transform(
-            F.filter("triples", lambda t: t["subj_type"].isin(linkable)),
-            lambda t: pair(t["subj_text"], t["subj_type"]),
-        ),
-        F.transform(
-            F.filter("triples", lambda t: t["obj_type"].isin(linkable)),
-            lambda t: pair(t["obj_text"], t["obj_type"]),
-        ),
-    )
-    return (
-        extracted.select(F.explode(candidates).alias("s"))
-        .select("s.text", "s.entity_type")
-        .distinct()
-    )
+# NOTE (round 6): a single-scan variant of _distinct_linkable_strings
+# (mentions + both triple endpoints concatenated array-side with
+# higher-order filter/transform lambdas before one explode) was tried
+# and REJECTED by measurement: the nested-lambda struct-building
+# expressions run interpreted, not codegen'd — 1335 CPU-s vs 137 CPU-s
+# for the three codegen'd explode scans of the same cached table at the
+# bench workload.  Three cheap cache scans beat one expensive one.
 
 
 
@@ -228,7 +205,6 @@ def build_resolution_table(
     gazetteer_df: DataFrame,
     gazetteer_bc: Broadcast,
     persisted: list | None = None,
-    extracted: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (text, entity_type) -> (canonical_name, confidence,
     match_type) via the exact -> fuzzy -> new ladder.
@@ -247,11 +223,7 @@ def build_resolution_table(
     long-running callers — the streaming foreachBatch loop relies on
     ``GraphBuildResult.unpersist()`` — can release it per build.
     """
-    strings = (
-        _distinct_linkable_strings_from_extracted(extracted)
-        if extracted is not None
-        else _distinct_linkable_strings(mentions, triples)
-    )
+    strings = _distinct_linkable_strings(mentions, triples)
     scored = score_strings_ladder(strings, gazetteer_bc).persist()
     if persisted is not None:
         persisted.append(scored)

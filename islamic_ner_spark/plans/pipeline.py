@@ -379,12 +379,7 @@ def _build_from_annotated(
         pass  # mentions/triples are cheap explodes of the cached `extracted`
 
     resolution = build_resolution_table(
-        spark, mentions, triples, gazetteer_df, gazetteer_bc, persisted=persisted,
-        # in-memory path: derive the distinct strings in ONE scan of the
-        # cached extraction instead of three explode scans (mentions +
-        # two triple endpoints); the work_dir path keeps the staged
-        # mentions/triples parquet (column-pruned) as the cheaper source
-        extracted=None if work_dir else extracted,
+        spark, mentions, triples, gazetteer_df, gazetteer_bc, persisted=persisted
     )
     if work_dir:
         path = str(Path(work_dir) / "resolution")

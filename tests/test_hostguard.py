@@ -36,6 +36,17 @@ def test_decay_tail_admits_falling_idle(monkeypatch) -> None:
     )
 
 
+def test_decay_tail_bounded_by_absolute_ceiling(monkeypatch) -> None:
+    # falling + idle but load1 far above the threshold (> 3x): the shape
+    # alone cannot distinguish our own tail from external load winding
+    # down while 30 cores stay busy — the fast path must NOT admit
+    # (ADVICE r5: require a small absolute multiple of the threshold)
+    _patch(monkeypatch, l1=30.0, l5=36.0, rate=0.1)
+    assert not hostguard.wait_for_admission(
+        4.0, max_wait_s=0, poll_s=0.01, allow_decay_tail=True
+    )
+
+
 def test_decay_tail_requires_opt_in(monkeypatch) -> None:
     _patch(monkeypatch, l1=12.0, l5=16.0, rate=0.1)
     assert not hostguard.wait_for_admission(4.0, max_wait_s=0, poll_s=0.01)
