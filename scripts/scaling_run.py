@@ -454,9 +454,8 @@ def main() -> None:
         fresh_note = (
             "the headline pair above comes from the accumulated pair "
             "history (none of this invocation's fresh pairs beat it by "
-            "the min-CPU rule; the pair itself was freshly measured by "
-            "round 5's final full invocation — see this file's git "
-            "history for that run's legs)"
+            "the min-CPU rule; see this file's git history for the "
+            "invocation that measured the winning pair's legs)"
         )
     if cpu_small and cpu_large:
         delta_pct = (
@@ -600,16 +599,17 @@ direct CPU-inflation signature (e.g. a wide leg at 3814 CPU-s vs the
 narrow leg's 2026 for identical output) and are excluded by the
 min-CPU rule, not by judgment calls.
 
-Round-5 epoch: {fresh_note}.  The seven earlier round-5 fresh pairs
-of the epoch document what contended windows do: their NARROW (4-core)
-legs still reproduced quiet-window CPU within +-7% (1166-1370; one
-spike-crossed leg at 1742) while their WIDE (16-core) legs inflated
-1.3-2.4x (1756-3218 CPU-s) for byte-identical output (9,949,272
-triples every leg) — one-sided inflation that localizes contention to
-what only wide legs contend for against co-tenants (physical cores /
-memory bandwidth), not to the plan, and depresses those pairs' ratios
-to 0.47-0.75.  That asymmetry is exactly what the min-CPU pair rule
-exists to filter, and a quiet window reproduces ~0.9 on demand.
+Current epoch: {fresh_note}.  A dated observation from the round-5
+epoch (kept because it documents what contended windows do, not the
+current epoch's numbers): seven fresh pairs' NARROW (4-core) legs
+reproduced quiet-window CPU within +-7% (1166-1370; one spike-crossed
+leg at 1742) while their WIDE (16-core) legs inflated 1.3-2.4x
+(1756-3218 CPU-s) for byte-identical output (9,949,272 triples every
+leg) — one-sided inflation that localizes contention to what only
+wide legs contend for against co-tenants (physical cores / memory
+bandwidth), not to the plan, and depressed those pairs' ratios to
+0.47-0.75.  That asymmetry is exactly what the min-CPU pair rule
+exists to filter.
 {epoch_note}
 
 The CPU-s column is container CPU burned during the leg (cgroup
