@@ -105,6 +105,7 @@ def annotate_transcripts(
     gazetteer_bc: Broadcast,
     *,
     extraction_only: bool = False,
+    memo_cap: int = _ANNOTATE_MEMO_CAP,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> annotated.
 
@@ -150,7 +151,7 @@ def annotate_transcripts(
                     for t in triples
                 )
                 hit = (ntext, tokens, labels, mentions, triples, needs_doc)
-                if len(memo) < _ANNOTATE_MEMO_CAP:
+                if len(memo) < memo_cap:
                     memo[text] = hit
             return hit
 
